@@ -1,0 +1,246 @@
+"""Public API: functional ``solve`` and the stateful ``QPDO`` class.
+
+The lifecycle API mirrors the reference driver (include/qpdo.h:14-56 and the
+MATLAB class interfaces/mex/qpdo.m): setup / warm_start / solve /
+update_q / update_bounds / update_settings, with the same in-place rescaling
+rules for parametric updates (qpdo.c:481-586).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as _c
+from .solver.core import solve_scaled
+from .solver.scaling import scale_problem, ruiz_equilibrate, limit_scaling
+from .types import Problem, Result, ScaledProblem, Scaling, Settings
+from .validate import validate_data, validate_settings
+
+
+def make_problem(Q, q, A, l, u, c=0.0, dtype=None) -> Problem:
+    """Build a Problem from array-likes, clamping +-inf bounds to
+    +-QPDO_INFTY (the MATLAB wrapper does the same, interfaces/mex/qpdo.m)."""
+    Q = jnp.asarray(Q, dtype)
+    dt = Q.dtype
+    inf = _c.QPDO_INFTY
+    return Problem(
+        Q=Q,
+        q=jnp.asarray(q, dt).reshape(-1),
+        A=jnp.asarray(A, dt).reshape(-1, Q.shape[-1]),
+        l=jnp.clip(jnp.nan_to_num(jnp.asarray(l, dt).reshape(-1),
+                                  neginf=-inf, posinf=inf), -inf, inf),
+        u=jnp.clip(jnp.nan_to_num(jnp.asarray(u, dt).reshape(-1),
+                                  neginf=-inf, posinf=inf), -inf, inf),
+        c=jnp.asarray(c, dt),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "warm_x", "warm_y"))
+def _solve_full(problem: Problem, settings: Settings, x0, y0,
+                warm_x: bool, warm_y: bool) -> Result:
+    sp = scale_problem(problem, settings.scaling)
+    return solve_scaled(sp, settings, x0, y0, warm_x, warm_y)
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "warm_x", "warm_y"))
+def _solve_on_scaled(sp: ScaledProblem, settings: Settings, x0, y0,
+                     warm_x: bool, warm_y: bool) -> Result:
+    return solve_scaled(sp, settings, x0, y0, warm_x, warm_y)
+
+
+def solve(problem: Problem, settings: Optional[Settings] = None,
+          x0=None, y0=None) -> Result:
+    """One-shot functional solve (setup + optional warm start + solve).
+
+    Equivalent to qpdo_setup + qpdo_warm_start + qpdo_solve
+    (qpdo.c:49-476).  Jittable and vmappable via the underlying
+    ``_solve_full``; this wrapper adds host-side validation.
+    """
+    settings = settings or Settings()
+    validate_settings(settings)
+    validate_data(problem)
+    return _solve_full(problem, settings, x0, y0,
+                       x0 is not None, y0 is not None)
+
+
+class QPDO:
+    """Stateful solver handle, mirroring the MATLAB class
+    (interfaces/mex/qpdo.m:1-236): keeps scaled data alive across solves for
+    warm starting and MPC-style parametric updates."""
+
+    def __init__(self):
+        self._sp: Optional[ScaledProblem] = None
+        self._settings = Settings()
+        self._x0 = None
+        self._y0 = None
+        self._setup_time = 0.0
+        self._last_x_scaled = None  # for update_q's cost-scalar recomputation
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @staticmethod
+    def default_settings() -> Settings:
+        return Settings()
+
+    @staticmethod
+    def constant(name: str):
+        """Solver constants by name (qpdo_mex.c:282-315)."""
+        table = {
+            "QPDO_INFTY": _c.QPDO_INFTY,
+            "QPDO_NAN": float("nan"),
+            "QPDO_SOLVED": _c.SOLVED,
+            "QPDO_UNSOLVED": _c.UNSOLVED,
+            "QPDO_PRIMAL_INFEASIBLE": _c.PRIMAL_INFEASIBLE,
+            "QPDO_DUAL_INFEASIBLE": _c.DUAL_INFEASIBLE,
+            "QPDO_MAX_ITER_REACHED": _c.MAX_ITER_REACHED,
+        }
+        if name not in table:
+            raise ValueError(f"Constant not recognized: {name}")
+        return table[name]
+
+    def setup(self, Q, q, A, l, u, settings: Optional[Settings] = None,
+              x0=None, y0=None, c=0.0, dtype=None) -> None:
+        """qpdo_setup (qpdo.c:49-212): validate, scale, store."""
+        t0 = time.perf_counter()
+        self._settings = settings or Settings()
+        validate_settings(self._settings)
+        problem = make_problem(Q, q, A, l, u, c, dtype)
+        validate_data(problem)
+        self._sp = jax.jit(scale_problem, static_argnames=("scaling_iters",))(
+            problem, self._settings.scaling)
+        self._x0, self._y0 = x0, y0
+        self._setup_time = time.perf_counter() - t0
+
+    def warm_start(self, x=None, y=None) -> None:
+        """qpdo_warm_start (qpdo.c:217-299).  The scaled-state computation is
+        fused into the next solve's jitted init; semantics are identical."""
+        t0 = time.perf_counter()
+        self._x0 = None if x is None else jnp.asarray(x)
+        self._y0 = None if y is None else jnp.asarray(y)
+        self._setup_time = time.perf_counter() - t0
+
+    def solve(self) -> Result:
+        """qpdo_solve (qpdo.c:304-476)."""
+        if self._sp is None:
+            raise RuntimeError("setup() must be called before solve()")
+        t0 = time.perf_counter()
+        res = _solve_on_scaled(self._sp, self._settings, self._x0, self._y0,
+                               self._x0 is not None, self._y0 is not None)
+        res = jax.block_until_ready(res)
+        solve_time = time.perf_counter() - t0
+        # keep the scaled iterate for update_q's cost rescaling (qpdo.c:556-559)
+        x_np = np.asarray(res.x)
+        if np.all(np.isfinite(x_np)):
+            self._last_x_scaled = self._sp.scaling.Dinv * res.x
+        # the reference resets `initialized` after each solve (qpdo.c:459):
+        # a new warm_start is needed before the next solve
+        self._x0 = self._y0 = None
+        info = res.info._replace(
+            setup_time=jnp.asarray(self._setup_time),
+            solve_time=jnp.asarray(solve_time),
+            run_time=jnp.asarray(self._setup_time + solve_time))
+        return res._replace(info=info)
+
+    # -- parametric updates (MPC workflow) ---------------------------------
+
+    def update_bounds(self, l=None, u=None) -> None:
+        """qpdo_update_bounds (qpdo.c:522-544): install new bounds, re-apply
+        the stored E scaling in place."""
+        sp = self._require_setup()
+        d = sp.data
+        dt = d.Q.dtype
+        inf = _c.QPDO_INFTY
+        new_l, new_u = d.l, d.u
+        lf, uf = sp.l_finite, sp.u_finite
+        if l is not None:
+            lr = jnp.clip(jnp.asarray(l, dt).reshape(-1), -inf, inf)
+            lf = (lr > -inf).astype(dt)
+            new_l = sp.scaling.E * lr
+        if u is not None:
+            ur = jnp.clip(jnp.asarray(u, dt).reshape(-1), -inf, inf)
+            uf = (ur < inf).astype(dt)
+            new_u = sp.scaling.E * ur
+        if bool(jnp.any(new_l > new_u)):
+            raise ValueError("lower bound greater than upper bound")
+        self._sp = sp._replace(data=d._replace(l=new_l, u=new_u),
+                               l_finite=lf, u_finite=uf)
+
+    def update_q(self, q) -> None:
+        """qpdo_update_q (qpdo.c:549-586): install a new linear cost,
+        recompute the cost scalar c from the current gradient estimate, and
+        rescale Q/q in place."""
+        sp = self._require_setup()
+        d = sp.data
+        sc = sp.scaling
+        dt = d.Q.dtype
+        q_new = jnp.asarray(q, dt).reshape(-1)
+        if self._settings.scaling:
+            qD = sc.D * q_new
+            # gradient estimate at the last iterate: temp = D q_new + cinv*Qx
+            # (qpdo.c:556-560); Qx here is the pure scaled product
+            if self._last_x_scaled is not None:
+                Qx = d.Q @ self._last_x_scaled
+            else:
+                Qx = jnp.zeros_like(qD)
+            temp = qD + sc.cinv * Qx
+            c_new = 1.0 / jnp.maximum(1.0, jnp.max(jnp.abs(temp)))
+            ratio = c_new / sc.c
+            Q_new = d.Q * ratio
+            q_scaled = c_new * qD
+            scaling = Scaling(D=sc.D, Dinv=sc.Dinv, E=sc.E, Einv=sc.Einv,
+                              c=c_new, cinv=1.0 / c_new)
+            norm_q = jnp.max(jnp.abs(sc.Dinv * q_scaled))
+            self._sp = sp._replace(
+                data=d._replace(Q=Q_new, q=q_scaled),
+                scaling=scaling, norm_q=norm_q)
+        else:
+            self._sp = sp._replace(data=d._replace(q=q_new),
+                                   norm_q=jnp.max(jnp.abs(q_new)))
+
+    def update_settings(self, settings: Settings) -> None:
+        """qpdo_update_settings (qpdo.c:481-517).  Supports *increasing* the
+        number of Ruiz iterations by running the residual passes on the
+        already-scaled A and composing the scalings (qpdo.c:496-512)."""
+        validate_settings(settings)
+        sp = self._require_setup()
+        old = self._settings
+        if settings.scaling < old.scaling:
+            raise ValueError(
+                "Decreasing the number of scaling iterations is not allowed")
+        if settings.scaling > old.scaling:
+            extra = settings.scaling - old.scaling
+            d = sp.data
+            sc = sp.scaling
+            A2, dD, dE = ruiz_equilibrate(d.A, extra)
+            D = sc.D * dD
+            E = sc.E * dE
+            Q2 = d.Q * dD[:, None] * dD[None, :]
+            q2 = d.q * dD
+            l2 = dE * d.l
+            u2 = dE * d.u
+            scaling = Scaling(D=D, Dinv=1.0 / D, E=E, Einv=1.0 / E,
+                              c=sc.c, cinv=sc.cinv)
+            self._sp = sp._replace(
+                data=d._replace(Q=Q2, q=q2, A=A2, l=l2, u=u2),
+                scaling=scaling,
+                norm_q=jnp.max(jnp.abs(scaling.Dinv * q2)))
+        self._settings = settings
+
+    def delete(self) -> None:
+        """qpdo_cleanup (qpdo.c:591-689); buffers are GC'd."""
+        self._sp = None
+        self._x0 = self._y0 = None
+        self._last_x_scaled = None
+
+    # -- helpers -----------------------------------------------------------
+
+    def _require_setup(self) -> ScaledProblem:
+        if self._sp is None:
+            raise RuntimeError("setup() must be called first")
+        return self._sp

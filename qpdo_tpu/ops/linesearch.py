@@ -1,0 +1,100 @@
+"""Vectorized exact (piecewise-linear) linesearch.
+
+TPU-native equivalent of src/linesearch.c:8-158.  The merit derivative is
+
+    0.5 * psi'(tau) = eta*tau + beta + delta' * [delta*tau - alpha]_+
+
+over 2m hinge terms (linesearch.c:8-14).  The reference finds the root by
+qsort-ing the positive breakpoints ``tau_i = alpha_i/delta_i`` and scanning
+segments sequentially, updating the affine coefficients (a, b) per breakpoint
+(pwa_linesearch, linesearch.c:74-158).  Here the same scan is a sort plus an
+exclusive cumulative sum — fully parallel, static-shape, vmappable:
+
+  a_before[k] = a0 + sum_{j<k} da[sorted j],   b_before analogously,
+  root segment = first k with b_before[k] + a_before[k]*t_sorted[k] > 0,
+  tau = -b_before[k]/a_before[k]  (or the fully-accumulated -b/a if none).
+
+Entries with delta_i == 0 contribute nothing to (a, b) in exact arithmetic
+(their updates are delta^2 and delta*alpha); the reference relies on IEEE
+division producing +-inf there and filtering via ``taus > 0``
+(linesearch.c:82-94) — here they are masked out explicitly, which is
+NaN-safe and numerically identical.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def exact_linesearch(dx, dy, Qdx, Adx, df, y, w, mu, l, u):
+    """Return the exact stepsize tau minimizing the merit along (dx, dy).
+
+    Arguments are the scaled-space quantities of the current Newton step;
+    ``Qdx`` must already include the sigma*dx term when proximal (the
+    reference's Qdx cache, src/newton.c:52-55).
+
+    Coefficient assembly mirrors exact_linesearch (src/linesearch.c:8-51):
+      eta   = 0.5*( dx'(Q+sigma I)dx + dy'(mu.*dy)/2 )
+      beta  = 0.5*( dx'df + y'(mu.*dy)/2 ),  df = Qx+q+sigma(x-xbar)
+      c0    = Adx - (mu.*dy)/2
+      delta = [-c0/sqrt(mu); c0/sqrt(mu)]
+      alpha = [(w-l)/sqrt(mu); (u-w)/sqrt(mu)]
+    """
+    mu_dy_half = 0.5 * mu * dy
+    eta = 0.5 * (jnp.dot(dx, Qdx) + jnp.dot(dy, mu_dy_half))
+    beta = 0.5 * (jnp.dot(dx, df) + jnp.dot(y, mu_dy_half))
+    rsqrt_mu = jax.lax.rsqrt(mu)
+    d_half = (Adx - mu_dy_half) * rsqrt_mu          # c0 ./ sqrt(mu)
+    delta = jnp.concatenate([-d_half, d_half])
+    alpha = jnp.concatenate([(w - l) * rsqrt_mu, (u - w) * rsqrt_mu])
+    return pwa_root(eta, beta, delta, alpha)
+
+
+def pwa_root(eta, beta, delta, alpha):
+    """Root of eta*tau + beta + delta'[delta*tau - alpha]_+ = 0.
+
+    Vectorized replacement of pwa_linesearch (src/linesearch.c:74-158)."""
+    dt = delta.dtype
+    nz = delta != 0
+    taus = jnp.where(nz, alpha / jnp.where(nz, delta, 1.0), -1.0)
+    L = taus > 0                      # breakpoints ahead of tau=0
+    P = delta > 0                     # sign of the hinge slope
+    J = jnp.logical_xor(P, L)         # hinges already active at tau=0+
+
+    dd = delta * delta
+    da_mask = jnp.where(nz, dd, 0.0)
+    db_mask = jnp.where(nz, delta * alpha, 0.0)
+
+    a0 = eta + jnp.sum(jnp.where(J, da_mask, 0.0))
+    b0 = beta - jnp.sum(jnp.where(J, db_mask, 0.0))
+
+    # Crossing breakpoint i flips hinge i: +update if it activates (P), else -.
+    sgn = jnp.where(P, 1.0, -1.0).astype(dt)
+    da = jnp.where(L, sgn * da_mask, 0.0)
+    db = jnp.where(L, -sgn * db_mask, 0.0)
+
+    # Sort breakpoints; non-L entries sort to +inf at the tail and carry
+    # zero updates, so the scan over the full 2m lanes is exact.
+    key = jnp.where(L, taus, jnp.asarray(jnp.inf, dt))
+    order = jnp.argsort(key)
+    t_s = key[order]
+    da_s = da[order]
+    db_s = db[order]
+
+    a_before = a0 + jnp.cumsum(da_s) - da_s   # exclusive prefix
+    b_before = b0 + jnp.cumsum(db_s) - db_s
+    slope = b_before + a_before * t_s
+
+    valid = jnp.isfinite(t_s)
+    hit = jnp.logical_and(valid, slope > 0)
+    any_hit = jnp.any(hit)
+    k = jnp.argmax(hit)               # first True (argmax of bools)
+
+    a_fin = a0 + jnp.sum(da_s)
+    b_fin = b0 + jnp.sum(db_s)
+    a_star = jnp.where(any_hit, a_before[k], a_fin)
+    b_star = jnp.where(any_hit, b_before[k], b_fin)
+    # a_star > 0 for a descent direction; guard the degenerate dx=dy=0 case
+    # (only reachable at exact optimality, where the outer check fires first).
+    return jnp.where(a_star != 0, -b_star / jnp.where(a_star != 0, a_star, 1.0), 1.0)

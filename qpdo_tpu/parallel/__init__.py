@@ -1,0 +1,1 @@
+from .batch import solve_batch, solve_batch_sharded, shard_problems

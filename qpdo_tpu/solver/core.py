@@ -1,0 +1,320 @@
+"""Core QPDO iteration: the primal-dual Newton proximal method as one pure
+``lax.while_loop`` step.
+
+TPU-native re-design of the reference hot loop (src/qpdo.c:304-476 plus
+src/iteration.c, src/newton.c, src/termination.c).  Differences from the
+reference that preserve semantics but change the mechanism:
+
+- The per-problem adaptive control flow (inner Newton step vs. outer prox
+  update vs. break) is re-expressed as masked, divergence-free updates: both
+  branches are computed every iteration and combined with ``jnp.where``.
+  This is what makes the whole solver ``vmap``-able in lock-step across a
+  batch of QPs — the primary TPU scaling axis.
+- The KKT matrix is re-formed and re-factorized every Newton iteration
+  (ops/linalg.py) instead of CHOLMOD rank-1 up/downdates; consequently
+  ``update_mu`` needs no factor repair (the reference's
+  ldlupdate_mu_changed, src/cholmod_interface.c:77-93, has no equivalent).
+- Status is latched per problem: once a problem leaves UNSOLVED its state is
+  frozen exactly, so converged problems in a batch take no-op steps.
+- The Qx cache stores the *pure* product Q@x; the reference folds sigma*x
+  into it when proximal (qpdo.c:249).  All formulas below add the sigma
+  terms explicitly, which is algebraically identical.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as _c
+from ..ops.linalg import newton_system_solve
+from ..ops.linesearch import exact_linesearch
+from ..types import Info, Problem, Result, ScaledProblem, Settings, SolverState
+
+
+def _norm_inf(v):
+    return jnp.max(jnp.abs(v))
+
+
+# ---------------------------------------------------------------------------
+# Warm start / state initialization (reference: qpdo_warm_start, qpdo.c:217-299)
+# ---------------------------------------------------------------------------
+
+def init_state(sp: ScaledProblem, settings: Settings,
+               x0, y0, warm_x: bool, warm_y: bool) -> SolverState:
+    d = sp.data
+    sc = sp.scaling
+    dt = d.Q.dtype
+    n, m = d.Q.shape[-1], d.A.shape[-2]
+    sigma = jnp.asarray(settings.sigma_init, dt)
+
+    if warm_x:
+        x = sc.Dinv * x0.astype(dt)       # qpdo.c:237-242
+        Qx = d.Q @ x
+        Ax = d.A @ x
+    else:
+        x = jnp.zeros((n,), dt)
+        Qx = jnp.zeros((n,), dt)
+        Ax = jnp.zeros((m,), dt)
+
+    if warm_y:
+        y = sc.c * (sc.Einv * y0.astype(dt))  # qpdo.c:268-274
+        Aty = d.A.T @ y
+    else:
+        y = jnp.zeros((m,), dt)
+        Aty = jnp.zeros((n,), dt)
+
+    # initialize_mu — Birgin-Martinez balancing (iteration.c:98-109).  The
+    # reference's Qx cache includes sigma*x when proximal, so f does too.
+    Qx_eff = Qx + sigma * x if settings.proximal else Qx
+    f = 0.5 * jnp.dot(x, Qx_eff) + jnp.dot(d.q, x)
+    r = Ax - jnp.clip(Ax, d.l, d.u)
+    one = jnp.asarray(1.0, dt)
+    mu = jnp.clip(
+        0.1 * jnp.maximum(one, 0.5 * r * r) / jnp.maximum(one, jnp.abs(f)),
+        1e-3, 1e3)
+
+    zero = jnp.asarray(0.0, dt)
+    i0 = jnp.asarray(0, jnp.int32)
+    return SolverState(
+        x=x, y=y, Qx=Qx, Ax=Ax, Aty=Aty, xbar=x, ybar=y, mu=mu,
+        sigma=sigma, eps_in=jnp.asarray(settings.eps_abs_in, dt),
+        res_prim_old=jnp.zeros((m,), dt), tau=zero,
+        iter=i0, iter_old=i0, oter=i0,
+        status=jnp.asarray(_c.UNSOLVED, jnp.int32),
+        res_prim_norm=zero, res_dual_norm=zero,
+        res_prim_in_norm=zero, res_dual_in_norm=zero)
+
+
+# ---------------------------------------------------------------------------
+# One masked solver step (the body of the main loop, qpdo.c:343-449)
+# ---------------------------------------------------------------------------
+
+def step(sp: ScaledProblem, settings: Settings, s: SolverState) -> SolverState:
+    d = sp.data
+    sc = sp.scaling
+    dt = d.Q.dtype
+    one = jnp.asarray(1.0, dt)
+    eps_abs = jnp.asarray(settings.eps_abs, dt)
+
+    # ---- outer residuals (iteration.c:30-60; norms termination.c:35-53) ----
+    # res_prim = Ax - proj_[l,u](Ax + E*(E*y)*cinv)   [scaled space]
+    y_term = (sc.E * sc.E * sc.cinv) * s.y
+    res_prim = s.Ax - jnp.clip(s.Ax + y_term, d.l, d.u)
+    res_dual = s.Qx + d.q + s.Aty
+    res_prim_norm = _norm_inf(sc.Einv * res_prim)
+    res_dual_norm = _norm_inf(sc.Dinv * res_dual) * sc.cinv
+
+    # ---- inner residuals (iteration.c:65-93; norms termination.c:58-77) ----
+    w = s.Ax + s.mu * (s.ybar - 0.5 * s.y)
+    z_in = jnp.clip(w, d.l, d.u)
+    res_prim_in = s.Ax + s.mu * (s.ybar - s.y) - z_in
+    df = s.Qx + d.q
+    if settings.proximal:
+        df = df + s.sigma * (s.x - s.xbar)
+    res_dual_in = df + s.Aty
+    res_prim_in_norm = _norm_inf(sc.Einv * res_prim_in)
+    res_dual_in_norm = _norm_inf(sc.Dinv * res_dual_in) * sc.cinv
+
+    # ---- outer optimality / divergence (termination.c:11-23) ----
+    infty = jnp.asarray(_c.QPDO_INFTY, dt)
+    diverged = (res_prim_norm > infty) | (res_dual_norm > infty)
+    solved = (res_prim_norm <= eps_abs) & (res_dual_norm <= eps_abs)
+    status_opt = jnp.where(
+        diverged, _c.NON_CVX,
+        jnp.where(solved, _c.SOLVED, _c.UNSOLVED)).astype(jnp.int32)
+    running = status_opt == _c.UNSOLVED
+
+    # ---- subproblem transition test (qpdo.c:365) ----
+    inner_opt = (res_prim_in_norm <= s.eps_in) & (res_dual_in_norm <= s.eps_in)
+    inner_cap = s.iter == s.iter_old + settings.inner_max_iter
+    sub_done = ((s.iter > s.iter_old + 1) & inner_opt) | inner_cap
+    can_check = s.iter < s.iter_old + settings.inner_max_iter
+
+    # =======================================================================
+    # Branch A: Newton step (computed unconditionally; masked in at the end)
+    # =======================================================================
+    # active set as weights (newton.c:96-107)
+    active = ((w <= d.l) | (w >= d.u)).astype(dt)
+    # rhs: ytilde = (I+P) res_prim_in / mu (doubled on inactive rows),
+    # rhs = -(res_dual_in + A' ytilde)   (newton.c:37-45)
+    ytilde = (res_prim_in / s.mu) * (2.0 - active)
+    rhs = -(res_dual_in + d.A.T @ ytilde)
+    dx = newton_system_solve(d.Q, d.A, active, s.mu, s.sigma, rhs,
+                             settings.proximal, settings.refine_steps,
+                             settings.kkt_dtype)
+    Qdx_pure = d.Q @ dx
+    Qdx = Qdx_pure + s.sigma * dx if settings.proximal else Qdx_pure
+    Adx = d.A @ dx
+    dy = ytilde + active * (Adx / s.mu)               # newton.c:60-63
+    Atdy = d.A.T @ dy
+    tau = exact_linesearch(dx, dy, Qdx, Adx, df, s.y, w, s.mu, d.l, d.u)
+    # iterate + cache updates (iteration.c:19-24); Qx cache is pure Q@x here
+    x_nwt = s.x + tau * dx
+    y_nwt = s.y + tau * dy
+    Qx_nwt = s.Qx + tau * Qdx_pure
+    Ax_nwt = s.Ax + tau * Adx
+    Aty_nwt = s.Aty + tau * Atdy
+
+    # =======================================================================
+    # Branch B: subproblem boundary — infeasibility checks + prox update
+    # =======================================================================
+    # primal infeasibility via dy = y - ybar (termination.c:97-151)
+    dy_c = s.y - s.ybar
+    norm_Edy = _norm_inf(sc.E * dy_c)
+    Atdy_c = sc.Dinv * (d.A.T @ dy_c)
+    oob = jnp.sum(d.u * jnp.maximum(dy_c, 0.0) * sp.u_finite
+                  + d.l * jnp.minimum(dy_c, 0.0) * sp.l_finite)
+    eps_pinf = jnp.asarray(settings.eps_prim_inf, dt)
+    prim_inf = ((norm_Edy > 0)
+                & (_norm_inf(Atdy_c) <= eps_pinf * norm_Edy)
+                & (oob <= -eps_pinf * norm_Edy))
+    prim_inf &= can_check & (settings.eps_prim_inf > 0)
+
+    # dual infeasibility via dx = x - xbar (termination.c:156-216)
+    dx_c = s.x - s.xbar
+    norm_Ddx = _norm_inf(sc.D * dx_c)
+    Adx_c = sc.Einv * (d.A @ dx_c)
+    eps_dinf = jnp.asarray(settings.eps_dual_inf, dt)
+    thr = eps_dinf * norm_Ddx
+    rows_bad = jnp.any((sp.u_finite * (Adx_c >= thr) > 0)
+                       | (sp.l_finite * (Adx_c <= -thr) > 0))
+    Qdx_c = d.Q @ dx_c
+    if settings.proximal:
+        # quirk preserved from termination.c:200-202: subtract sigma*tau*dx
+        Qdx_c = Qdx_c - s.sigma * s.tau * dx_c
+    dual_inf = ((norm_Ddx > 0) & ~rows_bad
+                & (_norm_inf(Qdx_c) <= sc.c * thr)
+                & (jnp.dot(d.q, dx_c) <= -sc.c * thr))
+    dual_inf &= can_check & (settings.eps_dual_inf > 0) & ~prim_inf
+
+    # mu update (iteration.c:127-168), gated on oter>0 and outer primal
+    # residual still above tolerance (qpdo.c:400-402)
+    res_norm_scaled = _norm_inf(res_prim)
+    abs_rp = jnp.abs(res_prim)
+    mu_cond = abs_rp > jnp.maximum(eps_abs,
+                                   settings.theta * jnp.abs(s.res_prim_old))
+    safe_rp = jnp.where(mu_cond, abs_rp, one)
+    mu_factor = one / jnp.minimum(one, settings.delta * res_norm_scaled / safe_rp)
+    mu_shrunk = jnp.maximum(s.mu / mu_factor, jnp.asarray(settings.mu_min, dt))
+    do_mu = (s.oter > 0) & (res_prim_norm > eps_abs)
+    mu_out = jnp.where(do_mu & mu_cond, mu_shrunk, s.mu)
+
+    # sigma update (iteration.c:173-180), gated at qpdo.c:403-405
+    do_sigma = settings.proximal & (s.oter > 0) & (res_dual_norm > eps_abs)
+    sigma_shrunk = jnp.maximum(s.sigma * settings.sigma_upd,
+                               jnp.asarray(settings.sigma_min, dt))
+    sigma_out = jnp.where(do_sigma & (s.sigma > settings.sigma_min),
+                          sigma_shrunk, s.sigma)
+
+    # inner tolerance shrink, only when the subproblem converged before the
+    # iteration cap (qpdo.c:407-410)
+    eps_in_out = jnp.where(
+        can_check,
+        jnp.maximum(settings.rho * s.eps_in, 0.1 * eps_abs),
+        s.eps_in)
+
+    # =======================================================================
+    # Combine branches with masks
+    # =======================================================================
+    infeasible = prim_inf | dual_inf
+    apply_newton = running & ~sub_done
+    apply_outer = running & sub_done & ~infeasible
+    advance = apply_newton | apply_outer       # i.e. no break this iteration
+
+    status_next = jnp.where(
+        running,
+        jnp.where(sub_done & prim_inf, _c.PRIMAL_INFEASIBLE,
+                  jnp.where(sub_done & dual_inf, _c.DUAL_INFEASIBLE,
+                            _c.UNSOLVED)),
+        status_opt).astype(jnp.int32)
+
+    def pick(newton_val, outer_val, old):
+        return jnp.where(apply_newton, newton_val,
+                         jnp.where(apply_outer, outer_val, old))
+
+    return SolverState(
+        x=pick(x_nwt, s.x, s.x),
+        y=pick(y_nwt, s.y, s.y),
+        Qx=pick(Qx_nwt, s.Qx, s.Qx),
+        Ax=pick(Ax_nwt, s.Ax, s.Ax),
+        Aty=pick(Aty_nwt, s.Aty, s.Aty),
+        xbar=pick(s.xbar, s.x, s.xbar),     # prox center <- x (qpdo.c:396)
+        ybar=pick(s.ybar, s.y, s.ybar),
+        mu=pick(s.mu, mu_out, s.mu),
+        sigma=pick(s.sigma, sigma_out, s.sigma),
+        eps_in=pick(s.eps_in, eps_in_out, s.eps_in),
+        res_prim_old=pick(s.res_prim_old, res_prim, s.res_prim_old),
+        tau=jnp.where(apply_newton, tau, s.tau),
+        iter=jnp.where(advance, s.iter + 1, s.iter),
+        iter_old=pick(s.iter_old, s.iter, s.iter_old),
+        oter=pick(s.oter, s.oter + 1, s.oter),
+        status=status_next,
+        res_prim_norm=res_prim_norm,
+        res_dual_norm=res_dual_norm,
+        res_prim_in_norm=res_prim_in_norm,
+        res_dual_in_norm=res_dual_in_norm,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full solve on scaled data
+# ---------------------------------------------------------------------------
+
+def objective_value(sp: ScaledProblem, x, Qx):
+    """0.5 x'Qx + q'x, unscaled (compute_objective, iteration.c:185-221)."""
+    d = sp.data
+    obj = 0.5 * jnp.dot(x, Qx) + jnp.dot(d.q, x)
+    return obj * sp.scaling.cinv + d.c
+
+
+def solve_scaled(sp: ScaledProblem, settings: Settings,
+                 x0, y0, warm_x: bool, warm_y: bool) -> Result:
+    """Run the main loop on scaled data and unscale the outputs.
+
+    Jit-safe; ``settings``/``warm_x``/``warm_y`` must be static."""
+    s0 = init_state(sp, settings, x0, y0, warm_x, warm_y)
+
+    def cond(s: SolverState):
+        return (s.status == _c.UNSOLVED) & (s.iter < settings.max_iter)
+
+    def body(s: SolverState):
+        return step(sp, settings, s)
+
+    s = jax.lax.while_loop(cond, body, s0)
+
+    status = jnp.where(s.status == _c.UNSOLVED,
+                       _c.MAX_ITER_REACHED, s.status).astype(jnp.int32)
+
+    sc = sp.scaling
+    dt = sp.data.Q.dtype
+    nan = jnp.asarray(jnp.nan, dt)
+
+    # unscale solution (store_solution, termination.c:82-92)
+    x_out = sc.D * s.x
+    y_out = sc.cinv * (sc.E * s.y)
+    # certificates (termination.c:143-146 and 206)
+    dy_cert = sc.cinv * (sc.E * (s.y - s.ybar))
+    dx_cert = sc.D * (s.x - s.xbar)
+
+    # NaN-filling per the MEX output contract (qpdo_mex.c:247-279)
+    is_pinf = status == _c.PRIMAL_INFEASIBLE
+    is_dinf = status == _c.DUAL_INFEASIBLE
+    any_inf = is_pinf | is_dinf
+    x_out = jnp.where(any_inf, nan, x_out)
+    y_out = jnp.where(any_inf, nan, y_out)
+    dy_cert = jnp.where(is_pinf, dy_cert, nan)
+    dx_cert = jnp.where(is_dinf, dx_cert, nan)
+
+    zero = jnp.asarray(0.0, dt)
+    info = Info(
+        iterations=s.iter, oterations=s.oter, status_val=status,
+        res_prim_norm=s.res_prim_norm, res_dual_norm=s.res_dual_norm,
+        res_prim_in_norm=s.res_prim_in_norm,
+        res_dual_in_norm=s.res_dual_in_norm,
+        objective=objective_value(sp, s.x, s.Qx),
+        setup_time=zero, solve_time=zero, run_time=zero)
+    return Result(x=x_out, y=y_out, prim_inf_cert=dy_cert,
+                  dual_inf_cert=dx_cert, info=info)

@@ -1,0 +1,187 @@
+"""Core pytree types of the TPU-native QPDO solver.
+
+Functional equivalents of the reference C structs (reference: include/types.h):
+
+* ``Problem``    <- ``QPDOData``      (types.h:81-90), dense jnp arrays
+* ``Settings``   <- ``QPDOSettings``  (types.h:96-116), a frozen, hashable
+  dataclass passed statically into jit (settings changes recompile)
+* ``Scaling``    <- ``QPDOScaling``   (types.h:40-47)
+* ``SolverState``<- the iterate subset of ``QPDOWorkspace`` (types.h:147-224)
+  that must survive across iterations; everything else is recomputed
+* ``Info``       <- ``QPDOInfo``      (types.h:53-72)
+* ``Result``     <- the 5-output MEX contract (interfaces/mex/qpdo_mex.c:227-281)
+
+Design notes (TPU-first):
+- No workspace mutation: one ``SolverState`` pytree flows through
+  ``lax.while_loop``.  Cached products Qx/Ax/Aty are state fields updated
+  incrementally after the linesearch, like the reference does
+  (src/iteration.c:19-24).
+- All arrays have static shapes; the active set is a {0,1} weight vector, not
+  an index set.
+- Everything vmaps: a batch of problems is just a leading axis on every leaf.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import constants as _c
+
+
+class Problem(NamedTuple):
+    """A convex QP: minimize 0.5 x'Qx + q'x + c  s.t.  l <= Ax <= u.
+
+    Dense, unscaled user data (reference: QPDOData, include/types.h:81-90).
+    ``Q`` must be symmetric PSD (possibly singular).  Bounds may contain
+    +-inf; they are clamped to +-QPDO_INFTY at setup (interfaces/mex/qpdo.m
+    clamps the same way).
+    """
+
+    Q: jax.Array  # (n, n)
+    q: jax.Array  # (n,)
+    A: jax.Array  # (m, n)
+    l: jax.Array  # (m,)
+    u: jax.Array  # (m,)
+    c: jax.Array  # scalar, constant cost term
+
+    @property
+    def n(self) -> int:
+        return self.Q.shape[-1]
+
+    @property
+    def m(self) -> int:
+        return self.A.shape[-2]
+
+
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    """Solver settings (reference: QPDOSettings, include/types.h:96-116).
+
+    Fully static/hashable: pass to jitted entry points as a static argument.
+    Defaults mirror include/constants.h:44-69 exactly.
+    """
+
+    max_time: float = _c.MAX_TIME
+    max_iter: int = _c.MAX_ITER
+    inner_max_iter: int = _c.INNER_MAX_ITER
+    eps_abs: float = _c.EPS_ABS
+    eps_abs_in: float = _c.EPS_ABS_IN
+    eps_prim_inf: float = _c.EPS_PRIM_INF
+    eps_dual_inf: float = _c.EPS_DUAL_INF
+    rho: float = _c.RHO
+    theta: float = _c.THETA
+    delta: float = _c.DELTA
+    mu_min: float = _c.MU_MIN
+    proximal: bool = _c.PROXIMAL
+    sigma_init: float = _c.SIGMA_INIT
+    sigma_upd: float = _c.SIGMA_UPD
+    sigma_min: float = _c.SIGMA_MIN
+    scaling: int = _c.SCALING
+    verbose: bool = _c.VERBOSE
+    print_interval: int = _c.PRINT_INTERVAL
+    reset_newton_iter: int = _c.RESET_NEWTON_ITER
+    # --- TPU-specific extensions (no reference equivalent) ---
+    # Iterative-refinement sweeps on the Newton solve; >0 recommended for
+    # float32 on TPU, 0 is fine in float64.
+    refine_steps: int = 1
+    # Precision of the KKT formation + Cholesky (e.g. "float32" while the
+    # solver state is float64): keeps the O(mn^2)+O(n^3) work on the fast
+    # MXU path, with refinement recovering state-dtype accuracy.
+    # None = same dtype as the problem data.
+    kkt_dtype: str | None = None
+
+    def replace(self, **kw) -> "Settings":
+        return dataclasses.replace(self, **kw)
+
+
+class Scaling(NamedTuple):
+    """Ruiz equilibration state (reference: QPDOScaling, include/types.h:40-47).
+
+    Identity vectors when scaling is disabled, so downstream formulas are
+    branch-free.
+    """
+
+    D: jax.Array     # (n,) primal scaling
+    Dinv: jax.Array  # (n,)
+    E: jax.Array     # (m,) dual scaling
+    Einv: jax.Array  # (m,)
+    c: jax.Array     # scalar cost scaling
+    cinv: jax.Array  # scalar
+
+
+class ScaledProblem(NamedTuple):
+    """Scaled problem data + scaling + static bound-finiteness masks.
+
+    ``l_finite``/``u_finite`` are {0,1} float masks computed from the raw
+    bounds; the reference recovers them on the fly as ``u < E*QPDO_INFTY``
+    (src/termination.c:131-138).
+    """
+
+    data: Problem          # scaled: Q<-cDQD, q<-cDq, A<-EAD, l/u<-E*l/u
+    scaling: Scaling
+    l_finite: jax.Array    # (m,) 1.0 where l > -inf
+    u_finite: jax.Array    # (m,) 1.0 where u < +inf
+    norm_q: jax.Array      # scalar, ||Dinv*q_scaled||_inf (reference qpdo.c:163-169)
+
+
+class SolverState(NamedTuple):
+    """Loop-carried iterate (scaled space). All scalars are 0-d arrays."""
+
+    x: jax.Array             # (n,) primal iterate
+    y: jax.Array             # (m,) dual iterate
+    Qx: jax.Array            # (n,) cached Q @ x (pure, without sigma*x)
+    Ax: jax.Array            # (m,) cached A @ x
+    Aty: jax.Array           # (n,) cached A' @ y
+    xbar: jax.Array          # (n,) proximal center, primal
+    ybar: jax.Array          # (m,) proximal center, dual
+    mu: jax.Array            # (m,) per-constraint penalty vector
+    sigma: jax.Array         # scalar primal regularization
+    eps_in: jax.Array        # scalar inner tolerance
+    res_prim_old: jax.Array  # (m,) outer primal residual at last prox update
+    tau: jax.Array           # scalar last linesearch stepsize
+    iter: jax.Array          # i32 total iteration counter
+    iter_old: jax.Array      # i32 iteration at which last subproblem finished
+    oter: jax.Array          # i32 outer (prox) iteration counter
+    status: jax.Array        # i32 status code; UNSOLVED while running
+    # diagnostics carried for Info (unscaled norms)
+    res_prim_norm: jax.Array
+    res_dual_norm: jax.Array
+    res_prim_in_norm: jax.Array
+    res_dual_in_norm: jax.Array
+
+
+class Info(NamedTuple):
+    """Solve diagnostics (reference: QPDOInfo, include/types.h:53-72)."""
+
+    iterations: jax.Array        # i32
+    oterations: jax.Array        # i32
+    status_val: jax.Array        # i32
+    res_prim_norm: jax.Array
+    res_dual_norm: jax.Array
+    res_prim_in_norm: jax.Array
+    res_dual_in_norm: jax.Array
+    objective: jax.Array
+    setup_time: jax.Array        # seconds; filled by the stateful API
+    solve_time: jax.Array
+    run_time: jax.Array
+
+    @property
+    def status(self):
+        """Status string (host-side only; requires a concrete status_val)."""
+        return _c.STATUS_STRINGS.get(int(self.status_val), "unrecognised status value")
+
+
+class Result(NamedTuple):
+    """Solve output, mirroring the 5-output MEX contract
+    (interfaces/mex/qpdo_mex.c:227-281): x, y, primal/dual infeasibility
+    certificates (NaN-filled according to status), and Info."""
+
+    x: jax.Array              # (n,)
+    y: jax.Array              # (m,)
+    prim_inf_cert: jax.Array  # (m,) dy, valid iff status == PRIMAL_INFEASIBLE
+    dual_inf_cert: jax.Array  # (n,) dx, valid iff status == DUAL_INFEASIBLE
+    info: Info

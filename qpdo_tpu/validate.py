@@ -1,0 +1,76 @@
+"""Host-side validation of problem data and settings.
+
+Mirrors the reference guard layer (src/validate.c:9-170): data validation
+checks only ``l <= u`` elementwise; settings validation range-checks every
+field.  Raises ``ValueError`` instead of returning FALSE.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .types import Problem, Settings
+
+
+def validate_data(problem: Problem) -> None:
+    """Reference: validate_data, src/validate.c:9-31 (plus the dimension
+    normalization the MATLAB wrapper performs, interfaces/mex/qpdo.m:60-133)."""
+    Q, q, A, l, u = problem.Q, problem.q, problem.A, problem.l, problem.u
+    n = Q.shape[-1]
+    m = A.shape[-2]
+    if Q.shape[-2:] != (n, n):
+        raise ValueError(f"Q must be square, got {Q.shape}")
+    if q.shape[-1] != n:
+        raise ValueError(f"q must have length n={n}, got {q.shape}")
+    if A.shape[-1] != n:
+        raise ValueError(f"A must have n={n} columns, got {A.shape}")
+    if l.shape[-1] != m or u.shape[-1] != m:
+        raise ValueError(f"l/u must have length m={m}, got {l.shape}/{u.shape}")
+    ln = np.asarray(l)
+    un = np.asarray(u)
+    if np.any(ln > un):
+        j = int(np.argmax(ln > un))
+        raise ValueError(
+            f"Lower bound at index {j} is greater than upper bound: "
+            f"{ln.flat[j]:.4e} > {un.flat[j]:.4e}"
+        )
+
+
+def validate_settings(s: Settings) -> None:
+    """Reference: validate_settings, src/validate.c:34-170."""
+    if s.max_iter <= 0:
+        raise ValueError("max_iter must be positive")
+    if s.inner_max_iter <= 0:
+        raise ValueError("inner_max_iter must be positive")
+    if s.eps_abs <= 0:
+        raise ValueError("eps_abs must be positive")
+    if s.eps_abs_in <= 0:
+        raise ValueError("eps_abs_in must be positive")
+    if s.eps_prim_inf < 0:
+        raise ValueError("eps_prim_inf must be nonnegative")
+    if s.eps_dual_inf < 0:
+        raise ValueError("eps_dual_inf must be nonnegative")
+    if not (0 < s.rho < 1):
+        raise ValueError("rho must be positive and smaller than 1")
+    if not (0 < s.theta <= 1):
+        raise ValueError("theta must be positive and smaller than or equal to 1")
+    if not (0 < s.delta < 1):
+        raise ValueError("delta must be positive and smaller than 1")
+    if s.mu_min <= 0:
+        raise ValueError("mu_min must be positive")
+    if s.proximal not in (True, False, 0, 1):
+        raise ValueError("proximal must be a boolean")
+    if s.sigma_init <= 0:
+        raise ValueError("sigma_init must be positive")
+    if not (0 < s.sigma_upd <= 1):
+        raise ValueError("sigma_upd must be positive and smaller than or equal to 1")
+    if s.sigma_min > s.sigma_init:
+        raise ValueError("sigma_min must be smaller than or equal to sigma_init")
+    if s.scaling < 0:
+        raise ValueError("scaling must be nonnegative")
+    if s.print_interval < 0:
+        raise ValueError("print_interval must be nonnegative")
+    if s.reset_newton_iter < 0:
+        raise ValueError("reset_newton_iter must be nonnegative")
+    if s.refine_steps < 0:
+        raise ValueError("refine_steps must be nonnegative")

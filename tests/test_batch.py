@@ -1,0 +1,91 @@
+"""Batched (vmap) and sharded (mesh) solving tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+import qpdo_tpu as qt
+from qpdo_tpu.parallel import solve_batch, solve_batch_sharded
+
+from utils import kkt_residuals, random_qp
+
+
+def _batch_problems(B, n, m, seed0=100):
+    Qs, qs, As, ls, us = [], [], [], [], []
+    for b in range(B):
+        Q, q, A, l, u = random_qp(n, m, seed=seed0 + b)
+        Qs.append(Q); qs.append(q); As.append(A); ls.append(l); us.append(u)
+    return qt.Problem(
+        Q=jnp.asarray(np.stack(Qs)), q=jnp.asarray(np.stack(qs)),
+        A=jnp.asarray(np.stack(As)), l=jnp.asarray(np.stack(ls)),
+        u=jnp.asarray(np.stack(us)), c=jnp.zeros(B))
+
+
+def test_batch_matches_single():
+    B, n, m = 4, 20, 15
+    problems = _batch_problems(B, n, m)
+    res = solve_batch(problems, qt.Settings())
+    assert res.x.shape == (B, n)
+    for b in range(B):
+        assert int(res.info.status_val[b]) == qt.SOLVED
+        single = qt.solve(jax.tree.map(lambda a: a[b], problems))
+        np.testing.assert_allclose(np.asarray(res.x[b]),
+                                   np.asarray(single.x), atol=1e-9)
+        # lock-step batching must not change per-problem iteration counts
+        assert int(res.info.iterations[b]) == int(single.info.iterations)
+
+
+def test_batch_kkt():
+    B, n, m = 8, 30, 20
+    problems = _batch_problems(B, n, m, seed0=200)
+    res = solve_batch(problems)
+    for b in range(B):
+        assert int(res.info.status_val[b]) == qt.SOLVED
+        rp, rd = kkt_residuals(np.asarray(problems.Q[b]), np.asarray(problems.q[b]),
+                               np.asarray(problems.A[b]), np.asarray(problems.l[b]),
+                               np.asarray(problems.u[b]), res.x[b], res.y[b])
+        assert rp <= 1e-6 and rd <= 1e-6
+
+
+def test_batch_mixed_status():
+    """A batch mixing solvable and infeasible problems latches statuses
+    independently (the hard part of lock-step batching, SURVEY.md §7)."""
+    # degenerate solvable + primal infeasible + dual infeasible from
+    # examples/infeasibility_tests.m, padded to common shapes
+    def prob(qp_a, qp_b, qp_c):
+        Q = np.array([[1.0, 0.0], [0.0, 0.0]])
+        q = np.array([1.0, qp_c])
+        A = np.array([[qp_a, qp_a], [1.0, 0.0], [0.0, 1.0]])
+        l = np.array([-np.inf, 1.0, 1.0])
+        u = np.array([0.0, 3.0, qp_b])
+        return Q, q, A, l, u
+
+    trips = [prob(0.0, 3.0, 0.0), prob(1.0, 3.0, 0.0), prob(0.0, np.inf, -1.0)]
+    inf = qt.QPDO_INFTY
+    problems = qt.Problem(
+        Q=jnp.asarray(np.stack([t[0] for t in trips])),
+        q=jnp.asarray(np.stack([t[1] for t in trips])),
+        A=jnp.asarray(np.stack([t[2] for t in trips])),
+        l=jnp.clip(jnp.asarray(np.stack([t[3] for t in trips])), -inf, inf),
+        u=jnp.clip(jnp.asarray(np.stack([t[4] for t in trips])), -inf, inf),
+        c=jnp.zeros(3))
+    res = solve_batch(problems, qt.Settings(max_iter=100))
+    assert int(res.info.status_val[0]) == qt.SOLVED
+    assert int(res.info.status_val[1]) == qt.PRIMAL_INFEASIBLE
+    assert int(res.info.status_val[2]) == qt.DUAL_INFEASIBLE
+
+
+def test_batch_sharded_over_mesh():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 virtual CPU devices"
+    mesh = Mesh(np.array(devs[:8]), ("batch",))
+    B, n, m = 16, 16, 12
+    problems = _batch_problems(B, n, m, seed0=300)
+    res = solve_batch_sharded(problems, mesh)
+    assert np.all(np.asarray(res.info.status_val) == qt.SOLVED)
+    # matches the unsharded result bitwise-stable numerics not guaranteed,
+    # but to tight tolerance
+    res_local = solve_batch(problems)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_local.x),
+                               atol=1e-8)

@@ -1,0 +1,68 @@
+"""Property tests for the vectorized exact linesearch.
+
+The returned tau must be a root of the piecewise-affine merit derivative
+
+    phi(tau) = eta*tau + beta + delta' [delta*tau - alpha]_+
+
+(the invariant the reference verifies in its commented-out debug block,
+src/linesearch.c:53-66).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qpdo_tpu.ops.linesearch import pwa_root
+
+
+def phi(tau, eta, beta, delta, alpha):
+    return eta * tau + beta + delta @ np.maximum(delta * tau - alpha, 0.0)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_root_property(seed):
+    rng = np.random.default_rng(seed)
+    m2 = 40
+    eta = float(rng.random() + 0.1)
+    delta = rng.standard_normal(m2)
+    alpha = rng.standard_normal(m2)
+    # choose beta so that psi'(0) < 0 (always true for a Newton descent
+    # direction) — then a positive root exists and the scan is exact
+    phi0 = phi(0.0, eta, 0.0, delta, alpha)
+    beta = float(-phi0 - rng.random() * 3 - 0.1)
+    tau = float(pwa_root(jnp.asarray(eta), jnp.asarray(beta),
+                         jnp.asarray(delta), jnp.asarray(alpha)))
+    assert np.isfinite(tau)
+    assert abs(phi(tau, eta, beta, delta, alpha)) < 1e-9 * max(1.0, abs(tau))
+
+
+def test_zero_delta_entries_ignored():
+    rng = np.random.default_rng(42)
+    m2 = 16
+    delta = rng.standard_normal(m2)
+    alpha = rng.standard_normal(m2)
+    delta[::4] = 0.0
+    eta, beta = 1.0, -2.0
+    tau = float(pwa_root(jnp.asarray(eta), jnp.asarray(beta),
+                         jnp.asarray(delta), jnp.asarray(alpha)))
+    assert np.isfinite(tau)
+    assert abs(phi(tau, eta, beta, delta, alpha)) < 1e-9
+
+
+def test_no_breakpoints():
+    # all breakpoints at tau <= 0: phi is affine with slope a0 on tau>0
+    eta, beta = 2.0, -4.0
+    delta = np.array([-1.0, -0.5])
+    alpha = np.array([1.0, 2.0])  # taus negative
+    tau = float(pwa_root(jnp.asarray(eta), jnp.asarray(beta),
+                         jnp.asarray(delta), jnp.asarray(alpha)))
+    assert abs(phi(tau, eta, beta, delta, alpha)) < 1e-12
+
+
+def test_root_beyond_all_breakpoints():
+    eta, beta = 0.5, -100.0
+    delta = np.array([0.1, 0.2])
+    alpha = np.array([0.05, 0.1])
+    tau = float(pwa_root(jnp.asarray(eta), jnp.asarray(beta),
+                         jnp.asarray(delta), jnp.asarray(alpha)))
+    assert abs(phi(tau, eta, beta, delta, alpha)) < 1e-9

@@ -1,0 +1,136 @@
+"""End-to-end solve tests against the KKT oracle.
+
+These encode the reference's acceptance criteria: solve random convex QPs to
+eps_abs with independently recomputed KKT residuals (examples/demo_mex.m)
+and warm-start convergence in fewer iterations (demo_mex.m:45-56).
+"""
+
+import numpy as np
+import pytest
+
+import qpdo_tpu as qt
+
+from utils import kkt_residuals, random_qp
+
+EPS = 1e-6
+
+
+def _solve(Q, q, A, l, u, settings=None, **kw):
+    problem = qt.make_problem(Q, q, A, l, u)
+    return qt.solve(problem, settings or qt.Settings(verbose=False), **kw)
+
+
+@pytest.mark.parametrize("n,m,seed", [(20, 15, 0), (50, 80, 1), (200, 100, 2)])
+def test_random_qp_solved(n, m, seed):
+    Q, q, A, l, u = random_qp(n, m, seed=seed)
+    res = _solve(Q, q, A, l, u)
+    assert int(res.info.status_val) == qt.SOLVED
+    rp, rd = kkt_residuals(Q, q, A, l, u, res.x, res.y)
+    assert rp <= EPS
+    assert rd <= EPS
+
+
+def test_demo_style_sparse_illconditioned():
+    """n=200, m=100, density 0.1, rcond 1e-3 — the demo_mex.m problem class."""
+    Q, q, A, l, u = random_qp(200, 100, seed=123456, density=0.1, rcond=1e-3)
+    res = _solve(Q, q, A, l, u)
+    assert int(res.info.status_val) == qt.SOLVED
+    rp, rd = kkt_residuals(Q, q, A, l, u, res.x, res.y)
+    assert rp <= EPS and rd <= EPS
+
+
+def test_singular_Q():
+    """Q PSD singular: the Newton system stays solvable by construction."""
+    rng = np.random.default_rng(3)
+    n, m = 30, 20
+    B = rng.standard_normal((n, n // 2))
+    Q = B @ B.T  # rank n/2
+    q = rng.standard_normal(n)
+    A = rng.standard_normal((m, n))
+    l = -np.ones(m)
+    u = np.ones(m)
+    res = _solve(Q, q, A, l, u)
+    assert int(res.info.status_val) == qt.SOLVED
+    rp, rd = kkt_residuals(Q, q, A, l, u, res.x, res.y)
+    assert rp <= EPS and rd <= EPS
+
+
+def test_equality_constraints():
+    Q, q, A, l, u = random_qp(30, 20, seed=4, eq_frac=0.5)
+    res = _solve(Q, q, A, l, u)
+    assert int(res.info.status_val) == qt.SOLVED
+    rp, rd = kkt_residuals(Q, q, A, l, u, res.x, res.y)
+    assert rp <= EPS and rd <= EPS
+
+
+def test_infinite_bounds():
+    Q, q, A, l, u = random_qp(25, 40, seed=5)
+    l[::3] = -np.inf
+    u[1::3] = np.inf
+    res = _solve(Q, q, A, l, u)
+    assert int(res.info.status_val) == qt.SOLVED
+    lc = np.clip(l, -qt.QPDO_INFTY, qt.QPDO_INFTY)
+    uc = np.clip(u, -qt.QPDO_INFTY, qt.QPDO_INFTY)
+    rp, rd = kkt_residuals(Q, q, A, lc, uc, res.x, res.y)
+    assert rp <= EPS and rd <= EPS
+
+
+def test_unconstrained_inactive():
+    """All constraints slack at the optimum -> pure proximal Newton path."""
+    rng = np.random.default_rng(6)
+    n, m = 15, 10
+    Q = np.eye(n)
+    q = rng.standard_normal(n) * 0.01
+    A = rng.standard_normal((m, n))
+    l = -1e3 * np.ones(m)
+    u = 1e3 * np.ones(m)
+    res = _solve(Q, q, A, l, u)
+    assert int(res.info.status_val) == qt.SOLVED
+    np.testing.assert_allclose(np.asarray(res.x), -q, atol=1e-6)
+
+
+def test_warm_start_fewer_iterations():
+    """demo_mex.m:45-56: warm start from a perturbed solution converges in
+    fewer iterations than the cold solve."""
+    Q, q, A, l, u = random_qp(60, 40, seed=7)
+    res_cold = _solve(Q, q, A, l, u)
+    assert int(res_cold.info.status_val) == qt.SOLVED
+    rng = np.random.default_rng(8)
+    x0 = np.asarray(res_cold.x) + 1e-3 * rng.standard_normal(60)
+    y0 = np.asarray(res_cold.y) + 1e-3 * rng.standard_normal(40)
+    res_warm = _solve(Q, q, A, l, u, x0=x0, y0=y0)
+    assert int(res_warm.info.status_val) == qt.SOLVED
+    assert int(res_warm.info.iterations) < int(res_cold.info.iterations)
+    rp, rd = kkt_residuals(Q, q, A, l, u, res_warm.x, res_warm.y)
+    assert rp <= EPS and rd <= EPS
+
+
+def test_no_scaling_path():
+    Q, q, A, l, u = random_qp(20, 15, seed=9)
+    res = _solve(Q, q, A, l, u, settings=qt.Settings(scaling=0))
+    assert int(res.info.status_val) == qt.SOLVED
+    rp, rd = kkt_residuals(Q, q, A, l, u, res.x, res.y)
+    assert rp <= EPS and rd <= EPS
+
+
+def test_non_proximal_path():
+    Q, q, A, l, u = random_qp(20, 15, seed=10, rcond=1e-1)
+    res = _solve(Q, q, A, l, u, settings=qt.Settings(proximal=False))
+    assert int(res.info.status_val) == qt.SOLVED
+    rp, rd = kkt_residuals(Q, q, A, l, u, res.x, res.y)
+    assert rp <= EPS and rd <= EPS
+
+
+def test_objective_value():
+    Q, q, A, l, u = random_qp(20, 15, seed=11)
+    res = _solve(Q, q, A, l, u)
+    x = np.asarray(res.x)
+    obj = 0.5 * x @ Q @ x + q @ x
+    np.testing.assert_allclose(float(res.info.objective), obj, atol=1e-6)
+
+
+def test_max_iter_status():
+    Q, q, A, l, u = random_qp(40, 30, seed=12)
+    res = _solve(Q, q, A, l, u, settings=qt.Settings(max_iter=3))
+    assert int(res.info.status_val) == qt.MAX_ITER_REACHED
+    assert int(res.info.iterations) == 3

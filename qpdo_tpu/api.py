@@ -18,9 +18,16 @@ import numpy as np
 
 from . import constants as _c
 from .solver.core import solve_scaled
+from .solver.driver import solve_driven
 from .solver.scaling import scale_problem, ruiz_equilibrate, limit_scaling
 from .types import Problem, Result, ScaledProblem, Scaling, Settings
 from .validate import validate_data, validate_settings
+
+_scale_jit = jax.jit(scale_problem, static_argnames=("scaling_iters",))
+
+
+def _needs_host_driver(settings: Settings) -> bool:
+    return settings.verbose or settings.max_time < _c.QPDO_INFTY
 
 
 def make_problem(Q, q, A, l, u, c=0.0, dtype=None) -> Problem:
@@ -65,6 +72,11 @@ def solve(problem: Problem, settings: Optional[Settings] = None,
     settings = settings or Settings()
     validate_settings(settings)
     validate_data(problem)
+    if _needs_host_driver(settings):
+        t0 = time.perf_counter()
+        sp = _scale_jit(problem, settings.scaling)
+        return solve_driven(sp, settings, x0, y0,
+                            x0 is not None, y0 is not None, t0)
     return _solve_full(problem, settings, x0, y0,
                        x0 is not None, y0 is not None)
 
@@ -112,8 +124,7 @@ class QPDO:
         validate_settings(self._settings)
         problem = make_problem(Q, q, A, l, u, c, dtype)
         validate_data(problem)
-        self._sp = jax.jit(scale_problem, static_argnames=("scaling_iters",))(
-            problem, self._settings.scaling)
+        self._sp = _scale_jit(problem, self._settings.scaling)
         self._x0, self._y0 = x0, y0
         self._setup_time = time.perf_counter() - t0
 
@@ -130,8 +141,13 @@ class QPDO:
         if self._sp is None:
             raise RuntimeError("setup() must be called before solve()")
         t0 = time.perf_counter()
-        res = _solve_on_scaled(self._sp, self._settings, self._x0, self._y0,
-                               self._x0 is not None, self._y0 is not None)
+        if _needs_host_driver(self._settings):
+            res = solve_driven(self._sp, self._settings, self._x0, self._y0,
+                               self._x0 is not None, self._y0 is not None, t0)
+        else:
+            res = _solve_on_scaled(self._sp, self._settings,
+                                   self._x0, self._y0,
+                                   self._x0 is not None, self._y0 is not None)
         res = jax.block_until_ready(res)
         solve_time = time.perf_counter() - t0
         # keep the scaled iterate for update_q's cost rescaling (qpdo.c:556-559)

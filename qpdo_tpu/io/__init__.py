@@ -1,0 +1,1 @@
+from .qps import QPSData, read_qps, to_problem

@@ -82,8 +82,12 @@ def pwa_root(eta, beta, delta, alpha):
     da_s = da[order]
     db_s = db[order]
 
-    a_before = a0 + jnp.cumsum(da_s) - da_s   # exclusive prefix
-    b_before = b0 + jnp.cumsum(db_s) - db_s
+    # exclusive prefix sums via shift (NOT cumsum(x) - x, which suffers
+    # catastrophic cancellation when an infinite-bound breakpoint makes
+    # delta*alpha ~ 1e20 dwarf a0/b0)
+    zero1 = jnp.zeros((1,), dt)
+    a_before = a0 + jnp.cumsum(jnp.concatenate([zero1, da_s[:-1]]))
+    b_before = b0 + jnp.cumsum(jnp.concatenate([zero1, db_s[:-1]]))
     slope = b_before + a_before * t_s
 
     valid = jnp.isfinite(t_s)

@@ -270,23 +270,29 @@ def objective_value(sp: ScaledProblem, x, Qx):
     return obj * sp.scaling.cinv + d.c
 
 
-def solve_scaled(sp: ScaledProblem, settings: Settings,
-                 x0, y0, warm_x: bool, warm_y: bool) -> Result:
-    """Run the main loop on scaled data and unscale the outputs.
-
-    Jit-safe; ``settings``/``warm_x``/``warm_y`` must be static."""
-    s0 = init_state(sp, settings, x0, y0, warm_x, warm_y)
+def run_loop(sp: ScaledProblem, settings: Settings, s: SolverState,
+             iter_cap) -> SolverState:
+    """Iterate until the status latches or ``iter`` reaches ``iter_cap``
+    (the main loop, qpdo.c:343-449).  ``iter_cap`` may be traced, enabling
+    chunked driving for max_time enforcement and verbose printing."""
 
     def cond(s: SolverState):
-        return (s.status == _c.UNSOLVED) & (s.iter < settings.max_iter)
+        return (s.status == _c.UNSOLVED) & (s.iter < iter_cap)
 
     def body(s: SolverState):
         return step(sp, settings, s)
 
-    s = jax.lax.while_loop(cond, body, s0)
+    return jax.lax.while_loop(cond, body, s)
 
+
+def finalize(sp: ScaledProblem, settings: Settings, s: SolverState,
+             unsolved_status: int = _c.MAX_ITER_REACHED) -> Result:
+    """Unscale the solution/certificates and assemble Info
+    (store_solution, termination.c:82-92 + the exit path qpdo.c:451-473).
+    ``unsolved_status`` is installed if the loop ended without latching
+    (MAX_ITER_REACHED, or MAX_TIME_REACHED from the chunked driver)."""
     status = jnp.where(s.status == _c.UNSOLVED,
-                       _c.MAX_ITER_REACHED, s.status).astype(jnp.int32)
+                       unsolved_status, s.status).astype(jnp.int32)
 
     sc = sp.scaling
     dt = sp.data.Q.dtype
@@ -318,3 +324,13 @@ def solve_scaled(sp: ScaledProblem, settings: Settings,
         setup_time=zero, solve_time=zero, run_time=zero)
     return Result(x=x_out, y=y_out, prim_inf_cert=dy_cert,
                   dual_inf_cert=dx_cert, info=info)
+
+
+def solve_scaled(sp: ScaledProblem, settings: Settings,
+                 x0, y0, warm_x: bool, warm_y: bool) -> Result:
+    """Run the main loop on scaled data and unscale the outputs.
+
+    Jit-safe; ``settings``/``warm_x``/``warm_y`` must be static."""
+    s0 = init_state(sp, settings, x0, y0, warm_x, warm_y)
+    s = run_loop(sp, settings, s0, settings.max_iter)
+    return finalize(sp, settings, s)

@@ -1,0 +1,105 @@
+"""Host-side solve drivers: verbose iteration printing and max_time.
+
+Two concerns that cannot live inside a single jitted while_loop are handled
+by driving the jitted loop in chunks from the host:
+
+- ``max_time`` (reference: the PROFILING wall-clock check, qpdo.c:442-448):
+  the loop runs in chunks of iterations; between chunks the host checks the
+  clock and installs MAX_TIME_REACHED.
+- ``verbose`` (reference: print_iteration each iteration, qpdo.c:353-358):
+  the loop runs one iteration per chunk, printing the same table as
+  util.c:97-175.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as _c
+from ..types import Result, ScaledProblem, Settings
+from ..utils import printing
+from . import core
+
+_TIME_CHUNK = 32  # iterations between wall-clock checks
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "warm_x", "warm_y"))
+def _init(sp, settings, x0, y0, warm_x, warm_y):
+    return core.init_state(sp, settings, x0, y0, warm_x, warm_y)
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _run_chunk(sp, settings, state, iter_cap):
+    return core.run_loop(sp, settings, state, iter_cap)
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _step(sp, settings, state):
+    return core.step(sp, settings, state)
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _finalize(sp, settings, state, unsolved_status):
+    return core.finalize(sp, settings, state, unsolved_status)
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _objective(sp, settings, state):
+    return core.objective_value(sp, state.x, state.Qx)
+
+
+def solve_driven(sp: ScaledProblem, settings: Settings, x0, y0,
+                 warm_x: bool, warm_y: bool, t_start: float) -> Result:
+    """Chunked host-driven solve honouring ``verbose`` and ``max_time``.
+
+    Semantically identical to ``core.solve_scaled`` (same jitted step), with
+    printing/timeout layered on from the host.  Single problem only — for
+    batches use the fully-jitted path.
+    """
+    s = _init(sp, settings, x0, y0, warm_x, warm_y)
+    verbose = settings.verbose
+    timed_out = False
+
+    if verbose:
+        printing.print_header()
+        prev = s
+        while int(s.status) == _c.UNSOLVED and int(s.iter) < settings.max_iter:
+            prev = s
+            s = _step(sp, settings, s)
+            it = int(prev.iter)
+            if it % settings.print_interval == 0:
+                printing.print_iteration(
+                    it, float(_objective(sp, settings, prev)),
+                    float(s.res_prim_norm), float(s.res_dual_norm),
+                    float(s.res_prim_in_norm), float(s.res_dual_in_norm),
+                    float(prev.tau))
+                if int(s.oter) > int(prev.oter):
+                    capped = (int(prev.iter) - int(prev.iter_old)
+                              == settings.inner_max_iter)
+                    printing.print_subproblem_separator(it, capped)
+            if time.perf_counter() - t_start > settings.max_time:
+                timed_out = True
+                break
+    else:
+        while int(s.status) == _c.UNSOLVED and int(s.iter) < settings.max_iter:
+            cap = min(int(s.iter) + _TIME_CHUNK, settings.max_iter)
+            s = _run_chunk(sp, settings, s, jnp.asarray(cap, jnp.int32))
+            if time.perf_counter() - t_start > settings.max_time:
+                timed_out = True
+                break
+
+    unsolved = _c.MAX_TIME_REACHED if timed_out else _c.MAX_ITER_REACHED
+    res = _finalize(sp, settings, s, jnp.asarray(unsolved, jnp.int32))
+
+    if verbose:
+        printing.print_final_message(
+            int(res.info.status_val), float(res.info.res_prim_norm),
+            float(res.info.res_dual_norm), settings.eps_abs,
+            float(res.info.objective),
+            run_time=time.perf_counter() - t_start)
+    return res

@@ -59,6 +59,35 @@ def test_no_breakpoints():
     assert abs(phi(tau, eta, beta, delta, alpha)) < 1e-12
 
 
+def test_huge_breakpoint_no_cancellation():
+    """Regression: an infinite-bound hinge puts delta*alpha ~ 1e20 in the
+    prefix scan; a cumsum(x)-x exclusive scan cancels a0/b0 away and froze
+    the solver on active-at-zero cold starts (tau = -0)."""
+    eta = 0.024304976779529953
+    beta = -0.04166319473377218
+    delta = np.array([0.26350118, 0.13175059, -0.26350118, -0.13175059])
+    alpha = np.array([3.16227766e+20, 0.0, 1.58113883e+01, 3.16227766e+20])
+    tau = float(pwa_root(jnp.asarray(eta), jnp.asarray(beta),
+                         jnp.asarray(delta), jnp.asarray(alpha)))
+    assert abs(tau - 1.0) < 1e-6
+    assert abs(phi(tau, eta, beta, delta, alpha)) < 1e-9
+
+
+def test_active_at_zero_cold_start_solves():
+    """End-to-end regression for the same bug: min x^2+x s.t. x<=5, x>=0
+    cold-starts exactly on the active bound."""
+    import qpdo_tpu as qt
+    Q = np.array([[2.0]])
+    q = np.array([1.0])
+    A = np.array([[1.0], [1.0]])
+    l = np.array([-np.inf, 0.0])
+    u = np.array([5.0, np.inf])
+    res = qt.solve(qt.make_problem(Q, q, A, l, u), qt.Settings(max_iter=50))
+    assert int(res.info.status_val) == qt.SOLVED
+    np.testing.assert_allclose(np.asarray(res.x), [0.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.y), [0.0, -1.0], atol=1e-5)
+
+
 def test_root_beyond_all_breakpoints():
     eta, beta = 0.5, -100.0
     delta = np.array([0.1, 0.2])

@@ -1,0 +1,143 @@
+"""QPS reader tests: synthetic fixtures + classic tiny Maros-Mészáros-style
+problems with known optima solved end-to-end."""
+
+import io
+
+import numpy as np
+import pytest
+
+import qpdo_tpu as qt
+from qpdo_tpu.io import read_qps, to_problem
+
+HS21 = """\
+NAME          HS21
+ROWS
+ N  obj
+ G  r1
+COLUMNS
+    x1        r1        10.0
+    x2        r1        -1.0
+RHS
+    rhs       r1        10.0
+BOUNDS
+ LO bnd       x1        2.0
+ UP bnd       x1        50.0
+ LO bnd       x2        -50.0
+ UP bnd       x2        50.0
+QUADOBJ
+    x1        x1        0.02
+    x2        x2        2.0
+ENDATA
+"""
+# HS21: min 0.01 x1^2 + x2^2 - 100  s.t. 10x1 - x2 >= 10, 2<=x1<=50,
+# -50<=x2<=50; optimum -99.96 at x=(2, 0).  (QUADOBJ stores Q with the
+# 1/2 x'Qx convention: diag = [0.02, 2.0].)
+HS21_WITH_CONST = HS21.replace(
+    "RHS\n    rhs       r1        10.0\n",
+    "RHS\n    rhs       obj       100.0\n    rhs       r1        10.0\n")
+
+TAME = """\
+NAME          TAME
+ROWS
+ N  obj
+ E  e1
+COLUMNS
+    x1        e1        1.0
+    x2        e1        1.0
+RHS
+    rhs       e1        1.0
+QUADOBJ
+    x1        x1        2.0
+    x1        x2        -2.0
+    x2        x2        2.0
+ENDATA
+"""
+# TAME: min (x1-x2)^2 s.t. x1+x2=1, x>=0; optimum 0 at (0.5, 0.5)
+
+
+def test_hs21_parse_and_solve():
+    d = read_qps(io.StringIO(HS21))
+    assert d.name == "HS21"
+    np.testing.assert_array_equal(d.Q, np.diag([0.02, 2.0]))
+    assert d.A.shape == (3, 2)  # 1 structural + 2 bound rows
+    assert d.n_structural == 1
+    res = qt.solve(to_problem(d))
+    assert int(res.info.status_val) == qt.SOLVED
+    np.testing.assert_allclose(np.asarray(res.x), [2.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(float(res.info.objective), 0.04, atol=1e-6)
+
+
+def test_objective_constant():
+    d = read_qps(io.StringIO(HS21_WITH_CONST))
+    assert d.c == -100.0
+    res = qt.solve(to_problem(d))
+    np.testing.assert_allclose(float(res.info.objective), -99.96, atol=1e-6)
+
+
+def test_tame_equality_and_defaults():
+    d = read_qps(io.StringIO(TAME))
+    # default variable bounds are [0, inf) -> bound rows appended
+    assert d.A.shape == (3, 2)
+    assert d.l[0] == d.u[0] == 1.0
+    res = qt.solve(to_problem(d))
+    assert int(res.info.status_val) == qt.SOLVED
+    np.testing.assert_allclose(np.asarray(res.x), [0.5, 0.5], atol=1e-5)
+    np.testing.assert_allclose(float(res.info.objective), 0.0, atol=1e-8)
+
+
+def test_ranges_and_senses():
+    qps = """\
+NAME RNG
+ROWS
+ N obj
+ L r1
+ G r2
+ E r3
+COLUMNS
+ x1 r1 1.0 r2 1.0
+ x1 r3 1.0 obj 1.0
+RHS
+ rhs r1 4.0 r2 -2.0
+ rhs r3 1.0
+RANGES
+ rng r1 2.0 r2 3.0
+QUADOBJ
+ x1 x1 2.0
+ENDATA
+"""
+    d = read_qps(io.StringIO(qps))
+    # L with range: [b-|r|, b]; G with range: [b, b+|r|]; E: [b, b]
+    np.testing.assert_allclose(d.l[:3], [2.0, -2.0, 1.0])
+    np.testing.assert_allclose(d.u[:3], [4.0, 1.0, 1.0])
+    assert d.q[0] == 1.0
+
+
+def test_free_and_fixed_bounds():
+    qps = """\
+NAME B
+ROWS
+ N obj
+ G r1
+COLUMNS
+ x1 r1 1.0
+ x2 r1 1.0
+ x3 r1 1.0
+RHS
+ rhs r1 1.0
+BOUNDS
+ FR bnd x1
+ FX bnd x2 0.5
+ MI bnd x3
+QUADOBJ
+ x1 x1 1.0
+ x2 x2 1.0
+ x3 x3 1.0
+ENDATA
+"""
+    d = read_qps(io.StringIO(qps))
+    # x1 free: no bound row; x2 fixed; x3 (-inf, inf) upper default +inf ->
+    # MI makes it lower-unbounded, upper stays +inf -> no row either
+    assert d.A.shape[0] == 2  # r1 + x2's FX row
+    fx_row = d.A[1]
+    np.testing.assert_array_equal(fx_row, [0, 1, 0])
+    assert d.l[1] == d.u[1] == 0.5

@@ -37,10 +37,11 @@ def main():
         u=jnp.asarray(rng.random((B, m))),
         c=jnp.zeros((B,)))
 
-    # mixed precision: float64 state/residuals for the 1e-6 tolerance,
-    # float32 KKT formation + Cholesky on the MXU fast path
-    settings = qt.Settings(eps_abs=1e-6, max_iter=300, inner_max_iter=100,
-                           refine_steps=2, kkt_dtype="float32")
+    # two-phase precision: full float32 solve to 1e-3, then float64-state
+    # polish (float32 KKT) to 1e-6; matmuls at HIGHEST precision
+    settings = qt.Settings(eps_abs=1e-6, max_iter=300, inner_max_iter=50,
+                           refine_steps=2, kkt_dtype="float32",
+                           hybrid_warmup=True)
 
     def run_sync():
         res = _solve_batch(problems, settings, None, None, False, False)

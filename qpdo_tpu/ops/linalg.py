@@ -71,14 +71,17 @@ def jacobi_cholesky(K):
 def cholesky_solve(K, rhs, refine_steps: int = 0):
     """Solve K dx = rhs via Jacobi-prescaled Cholesky + iterative refinement.
 
-    Replaces ldlchol + ldlsolveLD_rhs (cholmod_interface.c:8-30, 98-102)."""
+    Replaces ldlchol + ldlsolveLD_rhs (cholmod_interface.c:8-30, 98-102).
+    ``rhs`` may be a vector (..., n) or a matrix of columns (..., n, k)."""
     chol, dinv = jacobi_cholesky(K)
+    matrix_rhs = rhs.ndim == K.ndim
+    drow = dinv[..., :, None] if matrix_rhs else dinv
 
     def solve1(b):
-        bh = b * dinv
+        bh = b * drow
         z = jax.scipy.linalg.solve_triangular(chol, bh, lower=True)
         z = jax.scipy.linalg.solve_triangular(chol, z, lower=True, trans=1)
-        return z * dinv
+        return z * drow
 
     dx = solve1(rhs)
     for _ in range(refine_steps):

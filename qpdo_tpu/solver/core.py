@@ -38,10 +38,25 @@ def _norm_inf(v):
     return jnp.max(jnp.abs(v))
 
 
+def _with_matmul_precision(fn):
+    """Trace the wrapped function under settings.matmul_precision.
+
+    All core entry points take (sp, settings, ...) so the context can be
+    derived from the second argument.  Without this, TPU float32 matmuls
+    run as single-pass bfloat16 and the 1e-3/1e-6 tolerances sit inside
+    matmul noise."""
+    @functools.wraps(fn)
+    def wrapped(sp, settings, *args, **kwargs):
+        with jax.default_matmul_precision(settings.matmul_precision):
+            return fn(sp, settings, *args, **kwargs)
+    return wrapped
+
+
 # ---------------------------------------------------------------------------
 # Warm start / state initialization (reference: qpdo_warm_start, qpdo.c:217-299)
 # ---------------------------------------------------------------------------
 
+@_with_matmul_precision
 def init_state(sp: ScaledProblem, settings: Settings,
                x0, y0, warm_x: bool, warm_y: bool) -> SolverState:
     d = sp.data
@@ -92,6 +107,7 @@ def init_state(sp: ScaledProblem, settings: Settings,
 # One masked solver step (the body of the main loop, qpdo.c:343-449)
 # ---------------------------------------------------------------------------
 
+@_with_matmul_precision
 def step(sp: ScaledProblem, settings: Settings, s: SolverState) -> SolverState:
     d = sp.data
     sc = sp.scaling
@@ -270,6 +286,7 @@ def objective_value(sp: ScaledProblem, x, Qx):
     return obj * sp.scaling.cinv + d.c
 
 
+@_with_matmul_precision
 def run_loop(sp: ScaledProblem, settings: Settings, s: SolverState,
              iter_cap) -> SolverState:
     """Iterate until the status latches or ``iter`` reaches ``iter_cap``
@@ -285,6 +302,7 @@ def run_loop(sp: ScaledProblem, settings: Settings, s: SolverState,
     return jax.lax.while_loop(cond, body, s)
 
 
+@_with_matmul_precision
 def finalize(sp: ScaledProblem, settings: Settings, s: SolverState,
              unsolved_status: int = _c.MAX_ITER_REACHED) -> Result:
     """Unscale the solution/certificates and assemble Info
@@ -326,11 +344,61 @@ def finalize(sp: ScaledProblem, settings: Settings, s: SolverState,
                   dual_inf_cert=dx_cert, info=info)
 
 
+def _warmup_pass(sp: ScaledProblem, settings: Settings,
+                 x0, y0, warm_x: bool, warm_y: bool) -> SolverState:
+    """Phase 1 of the hybrid solve: run the full algorithm in float32 to
+    ``warmup_eps``, then upcast the state and recompute the caches exactly.
+
+    Float32 specifics (empirical, see README "Precision model"): the
+    reliable float32 residual floor is ~1e-3, and the reference's
+    aggressive per-row mu shrink (factor up to 1/delta = 100 per outer
+    iteration, iteration.c:136) must be floored at ``warmup_mu_min`` or
+    cond(K) exceeds what a float32 Cholesky can carry.  Infeasibility
+    checks are deferred to the accurate phase (their eps-relative tests sit
+    inside float32 noise).
+    """
+    dt = sp.data.Q.dtype
+    s32_settings = settings.replace(
+        eps_abs=settings.warmup_eps,
+        mu_min=max(settings.mu_min, settings.warmup_mu_min),
+        eps_prim_inf=0.0, eps_dual_inf=0.0,
+        kkt_dtype=None, refine_steps=1, hybrid_warmup=False)
+    f32 = jnp.float32
+    sp32 = jax.tree.map(lambda a: a.astype(f32) if a.dtype == dt else a, sp)
+    x032 = None if x0 is None else x0.astype(f32)
+    y032 = None if y0 is None else y0.astype(f32)
+    s = init_state(sp32, s32_settings, x032, y032, warm_x, warm_y)
+    # leave at least half the iteration budget to the accurate phase: an
+    # infeasible problem never reaches warmup_eps and would otherwise
+    # starve phase 2 of the iterations where detection happens
+    s = run_loop(sp32, s32_settings, s, max(1, settings.max_iter // 2))
+
+    # upcast: exact caches in the target dtype; phase-1 "solved" is only
+    # solved to warmup_eps, so reset it (infeasibility/divergence latches
+    # are disabled in phase 1; NON_CVX is kept)
+    up = lambda a: a.astype(dt)
+    x, y = up(s.x), up(s.y)
+    status = jnp.where(s.status == _c.SOLVED, _c.UNSOLVED, s.status)
+    return SolverState(
+        x=x, y=y, Qx=sp.data.Q @ x, Ax=sp.data.A @ x, Aty=sp.data.A.T @ y,
+        xbar=up(s.xbar), ybar=up(s.ybar), mu=up(s.mu), sigma=up(s.sigma),
+        eps_in=up(s.eps_in), res_prim_old=up(s.res_prim_old), tau=up(s.tau),
+        iter=s.iter, iter_old=s.iter_old, oter=s.oter,
+        status=status.astype(jnp.int32),
+        res_prim_norm=up(s.res_prim_norm), res_dual_norm=up(s.res_dual_norm),
+        res_prim_in_norm=up(s.res_prim_in_norm),
+        res_dual_in_norm=up(s.res_dual_in_norm))
+
+
+@_with_matmul_precision
 def solve_scaled(sp: ScaledProblem, settings: Settings,
                  x0, y0, warm_x: bool, warm_y: bool) -> Result:
     """Run the main loop on scaled data and unscale the outputs.
 
     Jit-safe; ``settings``/``warm_x``/``warm_y`` must be static."""
-    s0 = init_state(sp, settings, x0, y0, warm_x, warm_y)
+    if settings.hybrid_warmup and sp.data.Q.dtype != jnp.float32:
+        s0 = _warmup_pass(sp, settings, x0, y0, warm_x, warm_y)
+    else:
+        s0 = init_state(sp, settings, x0, y0, warm_x, warm_y)
     s = run_loop(sp, settings, s0, settings.max_iter)
     return finalize(sp, settings, s)

@@ -93,6 +93,21 @@ class Settings:
     # MXU path, with refinement recovering state-dtype accuracy.
     # None = same dtype as the problem data.
     kkt_dtype: str | None = None
+    # Two-phase precision ("hybrid warmup"): run the whole solver in float32
+    # to ``warmup_eps`` (with a float32-safe mu floor), then upcast the
+    # state to the problem dtype, recompute the caches exactly, and polish
+    # to eps_abs.  On TPU (emulated float64) this moves ~80% of the
+    # iterations onto the 5x-faster float32 path.  Ignored for float32
+    # problem data.
+    hybrid_warmup: bool = False
+    warmup_eps: float = 1e-3
+    warmup_mu_min: float = 1e-4
+    # Matmul precision for every dot/matvec in the solver.  TPUs default to
+    # bfloat16 passes for float32 matmuls, which silently destroys the
+    # residual accuracy the tolerances rely on; "highest" forces full
+    # float32 (6-pass) arithmetic.  ("tensorfloat32" = 3-pass is a faster,
+    # slightly less safe option.)
+    matmul_precision: str = "highest"
 
     def replace(self, **kw) -> "Settings":
         return dataclasses.replace(self, **kw)

@@ -129,6 +129,29 @@ def test_objective_value():
     np.testing.assert_allclose(float(res.info.objective), obj, atol=1e-6)
 
 
+def test_hybrid_warmup_matches_accuracy():
+    """Two-phase float32->float64 solve reaches the same tolerance."""
+    Q, q, A, l, u = random_qp(60, 40, seed=21)
+    s = qt.Settings(hybrid_warmup=True, inner_max_iter=50,
+                    kkt_dtype="float32", refine_steps=2)
+    res = _solve(Q, q, A, l, u, settings=s)
+    assert int(res.info.status_val) == qt.SOLVED
+    rp, rd = kkt_residuals(Q, q, A, l, u, res.x, res.y)
+    assert rp <= EPS and rd <= EPS
+
+
+def test_hybrid_warmup_infeasible_detection_deferred():
+    """Infeasibility latches still fire (in the accurate phase)."""
+    Q = np.array([[1.0, 0.0], [0.0, 0.0]])
+    q = np.array([1.0, 0.0])
+    A = np.array([[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]])
+    l = np.array([-qt.QPDO_INFTY, 1.0, 1.0])
+    u = np.array([0.0, 3.0, 3.0])
+    res = _solve(Q, q, A, l, u,
+                 settings=qt.Settings(hybrid_warmup=True, max_iter=200))
+    assert int(res.info.status_val) == qt.PRIMAL_INFEASIBLE
+
+
 def test_max_iter_status():
     Q, q, A, l, u = random_qp(40, 30, seed=12)
     res = _solve(Q, q, A, l, u, settings=qt.Settings(max_iter=3))

@@ -1,0 +1,103 @@
+"""Native (C++) QPS parser: build, parity with the Python reader, speed."""
+
+import io
+import os
+import time
+
+import numpy as np
+import pytest
+
+from qpdo_tpu.io import read_qps
+from qpdo_tpu.native import build_native, native_available, read_qps_native
+
+from test_qps import HS21, HS21_WITH_CONST, TAME
+
+
+def _parity(text):
+    ref = read_qps(io.StringIO(text))
+    nat = read_qps_native(text)
+    assert nat.name == ref.name
+    assert nat.n_structural == ref.n_structural
+    np.testing.assert_allclose(nat.Q, ref.Q)
+    np.testing.assert_allclose(nat.q, ref.q)
+    assert nat.c == ref.c
+    np.testing.assert_allclose(nat.A, ref.A)
+    np.testing.assert_allclose(nat.l, ref.l)
+    np.testing.assert_allclose(nat.u, ref.u)
+
+
+def test_build():
+    assert os.path.exists(build_native())
+    assert native_available()
+
+
+@pytest.mark.parametrize("text", [HS21, HS21_WITH_CONST, TAME])
+def test_parity_fixtures(text):
+    _parity(text)
+
+
+def test_parity_generated_large():
+    """Synthesize a larger random QPS file and require exact parity."""
+    rng = np.random.default_rng(0)
+    n, m = 40, 25
+    lines = ["NAME GEN", "ROWS", " N obj"]
+    senses = []
+    for i in range(m):
+        s = "LGE"[rng.integers(3)]
+        senses.append(s)
+        lines.append(f" {s} r{i}")
+    lines.append("COLUMNS")
+    for j in range(n):
+        for i in range(m):
+            if rng.random() < 0.2:
+                lines.append(f" x{j} r{i} {rng.standard_normal():.6f}")
+        if rng.random() < 0.7:
+            lines.append(f" x{j} obj {rng.standard_normal():.6f}")
+    lines.append("RHS")
+    for i in range(m):
+        if rng.random() < 0.8:
+            lines.append(f" rhs r{i} {rng.standard_normal():.6f}")
+    lines.append("RANGES")
+    for i in range(m):
+        if rng.random() < 0.3:
+            lines.append(f" rng r{i} {rng.standard_normal():.6f}")
+    lines.append("BOUNDS")
+    for j in range(0, n, 3):
+        kind = ["UP", "LO", "FX", "FR", "MI"][rng.integers(5)]
+        if kind in ("FR", "MI"):
+            lines.append(f" {kind} bnd x{j}")
+        else:
+            lines.append(f" {kind} bnd x{j} {rng.standard_normal():.6f}")
+    lines.append("QUADOBJ")
+    for j in range(n):
+        lines.append(f" x{j} x{j} {abs(rng.standard_normal()) + 0.1:.6f}")
+        if j + 1 < n and rng.random() < 0.3:
+            lines.append(f" x{j} x{j+1} {0.01 * rng.standard_normal():.6f}")
+    lines.append("ENDATA")
+    _parity("\n".join(lines) + "\n")
+
+
+def test_native_faster_on_big_file():
+    # ~2 MB synthetic file; native should win clearly
+    n, m = 150, 100
+    rng = np.random.default_rng(1)
+    lines = ["NAME BIG", "ROWS", " N obj"] + [f" L r{i}" for i in range(m)]
+    lines.append("COLUMNS")
+    for j in range(n):
+        for i in range(m):
+            lines.append(f" x{j} r{i} {rng.standard_normal():.8f}")
+    lines.append("RHS")
+    lines += [f" rhs r{i} 1.0" for i in range(m)]
+    lines.append("QUADOBJ")
+    lines += [f" x{j} x{j} 1.0" for j in range(n)]
+    lines.append("ENDATA")
+    text = "\n".join(lines) + "\n"
+
+    t0 = time.perf_counter()
+    ref = read_qps(io.StringIO(text))
+    t_py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    nat = read_qps_native(text)
+    t_nat = time.perf_counter() - t0
+    np.testing.assert_allclose(nat.A, ref.A)
+    assert t_nat < t_py  # typically 10-100x

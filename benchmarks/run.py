@@ -1,0 +1,181 @@
+"""Benchmark/acceptance harness: the five BASELINE.json configs.
+
+Usage:  python benchmarks/run.py [config ...]
+Configs: demo, infeasibility, degenerate, maros (needs QPDO_MM_DIR pointing
+at a directory of .qps/.qps.gz files), mpc.  Default: all available.
+
+Prints one JSON line per config; the headline single-line benchmark for the
+driver remains bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(res):
+    np.asarray(res.info.status_val)
+    return res
+
+
+def make_batch(B, n, m, seed=0, dtype=np.float64, rank_frac=1.0):
+    import jax.numpy as jnp
+    import qpdo_tpu as qt
+
+    rng = np.random.default_rng(seed)
+    k = max(1, int(n * rank_frac))
+    M = rng.standard_normal((B, n, k))
+    Q = np.einsum("bik,bjk->bij", M, M) / n
+    if rank_frac >= 1.0:
+        Q += 0.1 * np.eye(n)
+    return qt.Problem(
+        Q=jnp.asarray(Q, dtype), q=jnp.asarray(rng.standard_normal((B, n)), dtype),
+        A=jnp.asarray(rng.standard_normal((B, m, n)), dtype),
+        l=jnp.asarray(-rng.random((B, m)), dtype),
+        u=jnp.asarray(rng.random((B, m)), dtype),
+        c=jnp.zeros((B,), dtype))
+
+
+def bench_demo():
+    """Config 1: demo_mex-style batched random QPs, eps 1e-6, cold."""
+    import jax.numpy as jnp
+    import qpdo_tpu as qt
+    from qpdo_tpu.parallel.batch import _solve_batch
+
+    B, n, m = 256, 100, 150
+    p = make_batch(B, n, m)
+    s = qt.Settings(eps_abs=1e-6, max_iter=300, inner_max_iter=50,
+                    refine_steps=2, kkt_dtype="float32", hybrid_warmup=True)
+    run = lambda: _sync(_solve_batch(p, s, None, None, False, False))
+    res = run()
+    t0 = time.perf_counter()
+    res = run()
+    dt = time.perf_counter() - t0
+    st = np.asarray(res.info.status_val)
+    return {"config": "demo", "qps_per_sec": round(B / dt, 1),
+            "solved_fraction": float((st == 1).mean()),
+            "mean_iters": float(np.asarray(res.info.iterations).mean())}
+
+
+def bench_infeasibility():
+    """Config 2: status + certificate detection on the three acceptance QPs
+    (examples/infeasibility_tests.m)."""
+    import qpdo_tpu as qt
+
+    def prob(a, b, c):
+        Q = np.array([[1.0, 0.0], [0.0, 0.0]])
+        q = np.array([1.0, c])
+        A = np.array([[a, a], [1.0, 0.0], [0.0, 1.0]])
+        return qt.make_problem(Q, q, A, [-np.inf, 1, 1], [0.0, 3, b])
+
+    s = qt.Settings(max_iter=100)
+    results = [int(qt.solve(prob(0.0, 3.0, 0.0), s).info.status_val),
+               int(qt.solve(prob(1.0, 3.0, 0.0), s).info.status_val),
+               int(qt.solve(prob(0.0, np.inf, -1.0), s).info.status_val)]
+    ok = results == [qt.SOLVED, qt.PRIMAL_INFEASIBLE, qt.DUAL_INFEASIBLE]
+    return {"config": "infeasibility", "statuses": results, "pass": bool(ok)}
+
+
+def bench_degenerate():
+    """Config 3: rank-deficient Q (rank n/2), redundant duplicated rows."""
+    import jax.numpy as jnp
+    import qpdo_tpu as qt
+    from qpdo_tpu.parallel.batch import _solve_batch
+
+    B, n, m = 64, 80, 60
+    p = make_batch(B, n, m, seed=7, rank_frac=0.5)
+    A = np.asarray(p.A)
+    A[:, m // 2:, :] = A[:, : m - m // 2, :]   # duplicate rows -> redundancy
+    p = p._replace(A=jnp.asarray(A))
+    s = qt.Settings(eps_abs=1e-6, max_iter=400, inner_max_iter=50,
+                    refine_steps=2, kkt_dtype="float32", hybrid_warmup=True)
+    res = _sync(_solve_batch(p, s, None, None, False, False))
+    st = np.asarray(res.info.status_val)
+    return {"config": "degenerate", "solved_fraction": float((st == 1).mean()),
+            "mean_iters": float(np.asarray(res.info.iterations).mean())}
+
+
+def bench_mpc():
+    """Config 5: warm-started scenario re-solves (MPC workflow):
+    solve a batch cold, perturb q/bounds slightly, re-solve warm."""
+    import jax.numpy as jnp
+    import qpdo_tpu as qt
+    from qpdo_tpu.parallel.batch import _solve_batch
+
+    B, n, m = 256, 100, 150
+    p = make_batch(B, n, m, seed=3)
+    s = qt.Settings(eps_abs=1e-6, max_iter=300, inner_max_iter=50,
+                    refine_steps=2, kkt_dtype="float32", hybrid_warmup=True)
+    cold = _sync(_solve_batch(p, s, None, None, False, False))
+    rng = np.random.default_rng(4)
+    p2 = p._replace(q=p.q + 1e-3 * jnp.asarray(rng.standard_normal((B, n))))
+    x0 = cold.x
+    y0 = cold.y
+    run = lambda: _sync(_solve_batch(p2, s, x0, y0, True, True))
+    warm = run()
+    t0 = time.perf_counter()
+    warm = run()
+    dt = time.perf_counter() - t0
+    st = np.asarray(warm.info.status_val)
+    return {"config": "mpc_warm", "qps_per_sec": round(B / dt, 1),
+            "solved_fraction": float((st == 1).mean()),
+            "mean_iters_warm": float(np.asarray(warm.info.iterations).mean()),
+            "mean_iters_cold": float(np.asarray(cold.info.iterations).mean())}
+
+
+def bench_maros():
+    """Config 4: Maros-Mészáros subset from QPDO_MM_DIR (skipped if unset)."""
+    import qpdo_tpu as qt
+    from qpdo_tpu.io import read_qps, to_problem
+
+    mm_dir = os.environ.get("QPDO_MM_DIR")
+    if not mm_dir or not os.path.isdir(mm_dir):
+        return {"config": "maros", "skipped": "QPDO_MM_DIR not set"}
+    try:
+        from qpdo_tpu.native import read_qps_native as reader
+    except Exception:
+        reader = read_qps
+
+    files = sorted(f for f in os.listdir(mm_dir)
+                   if f.endswith((".qps", ".QPS", ".qps.gz", ".SIF")))
+    max_n = int(os.environ.get("QPDO_MM_MAX_N", 500))
+    solved = attempted = 0
+    t_total = 0.0
+    s = qt.Settings(eps_abs=1e-6, max_iter=2000, inner_max_iter=100,
+                    refine_steps=2, kkt_dtype="float32", hybrid_warmup=True)
+    for f in files:
+        d = reader(os.path.join(mm_dir, f))
+        if d.Q.shape[0] > max_n:
+            continue
+        attempted += 1
+        t0 = time.perf_counter()
+        res = qt.solve(to_problem(d), s)
+        t_total += time.perf_counter() - t0
+        if int(res.info.status_val) == qt.SOLVED:
+            solved += 1
+    return {"config": "maros", "attempted": attempted, "solved": solved,
+            "solve_rate": solved / max(attempted, 1),
+            "total_time_s": round(t_total, 1)}
+
+
+CONFIGS = {"demo": bench_demo, "infeasibility": bench_infeasibility,
+           "degenerate": bench_degenerate, "mpc": bench_mpc,
+           "maros": bench_maros}
+
+
+def main(argv):
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    names = argv or list(CONFIGS)
+    for name in names:
+        out = CONFIGS[name]()
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

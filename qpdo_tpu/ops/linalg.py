@@ -114,8 +114,15 @@ def newton_system_solve(Q, A, active, mu, sigma, rhs, proximal: bool,
         z = jax.scipy.linalg.solve_triangular(chol, z, lower=True, trans=1)
         return z.astype(dt) * dinv.astype(dt)
 
+    Qk, Ak, wk = Q.astype(kdt), A.astype(kdt), w.astype(kdt)
+
     def resid(v):
-        Kv = Q @ v + A.T @ (w * (A @ v))
+        # residual matvecs in the KKT dtype: they only bound dx's accuracy
+        # at ~eps(kdt) relative, which is enough — convergence is gated by
+        # the state-dtype residuals, not by dx's last bits.  This keeps all
+        # O(n^2 + mn) refinement work off the emulated-f64 path on TPU.
+        vk = v.astype(kdt)
+        Kv = (Qk @ vk + Ak.T @ (wk * (Ak @ vk))).astype(dt)
         if proximal:
             Kv = Kv + sigma * v
         return rhs - Kv

@@ -157,13 +157,35 @@ def step(sp: ScaledProblem, settings: Settings, s: SolverState) -> SolverState:
     # rhs: ytilde = (I+P) res_prim_in / mu (doubled on inactive rows),
     # rhs = -(res_dual_in + A' ytilde)   (newton.c:37-45)
     ytilde = (res_prim_in / s.mu) * (2.0 - active)
-    rhs = -(res_dual_in + d.A.T @ ytilde)
+
+    # The infeasibility-check directions are known before the Newton solve,
+    # so their matvecs ride along in stacked GEMMs (2-column right-hand
+    # sides) — on TPU each state-dtype GEMM call is expensive, and the
+    # masked lock-step design computes branch B every iteration anyway.
+    check_inf = settings.eps_prim_inf > 0 or settings.eps_dual_inf > 0
+    dy_c = s.y - s.ybar                     # primal certificate direction
+    dx_c = s.x - s.xbar                     # dual certificate direction
+
+    if check_inf:
+        At2 = d.A.T @ jnp.stack([ytilde, dy_c], axis=-1)   # (n, 2)
+        At_ytilde, Atdy_c_raw = At2[:, 0], At2[:, 1]
+    else:
+        At_ytilde = d.A.T @ ytilde
+        Atdy_c_raw = None
+    rhs = -(res_dual_in + At_ytilde)
     dx = newton_system_solve(d.Q, d.A, active, s.mu, s.sigma, rhs,
                              settings.proximal, settings.refine_steps,
                              settings.kkt_dtype)
-    Qdx_pure = d.Q @ dx
+    if check_inf:
+        QV = d.Q @ jnp.stack([dx, dx_c], axis=-1)          # (n, 2)
+        AV = d.A @ jnp.stack([dx, dx_c], axis=-1)          # (m, 2)
+        Qdx_pure, Qdx_c = QV[:, 0], QV[:, 1]
+        Adx, Adx_c_raw = AV[:, 0], AV[:, 1]
+    else:
+        Qdx_pure = d.Q @ dx
+        Adx = d.A @ dx
+        Qdx_c = Adx_c_raw = None
     Qdx = Qdx_pure + s.sigma * dx if settings.proximal else Qdx_pure
-    Adx = d.A @ dx
     dy = ytilde + active * (Adx / s.mu)               # newton.c:60-63
     Atdy = d.A.T @ dy
     tau = exact_linesearch(dx, dy, Qdx, Adx, df, s.y, w, s.mu, d.l, d.u)
@@ -177,34 +199,35 @@ def step(sp: ScaledProblem, settings: Settings, s: SolverState) -> SolverState:
     # =======================================================================
     # Branch B: subproblem boundary — infeasibility checks + prox update
     # =======================================================================
-    # primal infeasibility via dy = y - ybar (termination.c:97-151)
-    dy_c = s.y - s.ybar
-    norm_Edy = _norm_inf(sc.E * dy_c)
-    Atdy_c = sc.Dinv * (d.A.T @ dy_c)
-    oob = jnp.sum(d.u * jnp.maximum(dy_c, 0.0) * sp.u_finite
-                  + d.l * jnp.minimum(dy_c, 0.0) * sp.l_finite)
-    eps_pinf = jnp.asarray(settings.eps_prim_inf, dt)
-    prim_inf = ((norm_Edy > 0)
-                & (_norm_inf(Atdy_c) <= eps_pinf * norm_Edy)
-                & (oob <= -eps_pinf * norm_Edy))
-    prim_inf &= can_check & (settings.eps_prim_inf > 0)
+    if check_inf:
+        # primal infeasibility via dy = y - ybar (termination.c:97-151)
+        norm_Edy = _norm_inf(sc.E * dy_c)
+        Atdy_c = sc.Dinv * Atdy_c_raw
+        oob = jnp.sum(d.u * jnp.maximum(dy_c, 0.0) * sp.u_finite
+                      + d.l * jnp.minimum(dy_c, 0.0) * sp.l_finite)
+        eps_pinf = jnp.asarray(settings.eps_prim_inf, dt)
+        prim_inf = ((norm_Edy > 0)
+                    & (_norm_inf(Atdy_c) <= eps_pinf * norm_Edy)
+                    & (oob <= -eps_pinf * norm_Edy))
+        prim_inf &= can_check & (settings.eps_prim_inf > 0)
 
-    # dual infeasibility via dx = x - xbar (termination.c:156-216)
-    dx_c = s.x - s.xbar
-    norm_Ddx = _norm_inf(sc.D * dx_c)
-    Adx_c = sc.Einv * (d.A @ dx_c)
-    eps_dinf = jnp.asarray(settings.eps_dual_inf, dt)
-    thr = eps_dinf * norm_Ddx
-    rows_bad = jnp.any((sp.u_finite * (Adx_c >= thr) > 0)
-                       | (sp.l_finite * (Adx_c <= -thr) > 0))
-    Qdx_c = d.Q @ dx_c
-    if settings.proximal:
-        # quirk preserved from termination.c:200-202: subtract sigma*tau*dx
-        Qdx_c = Qdx_c - s.sigma * s.tau * dx_c
-    dual_inf = ((norm_Ddx > 0) & ~rows_bad
-                & (_norm_inf(Qdx_c) <= sc.c * thr)
-                & (jnp.dot(d.q, dx_c) <= -sc.c * thr))
-    dual_inf &= can_check & (settings.eps_dual_inf > 0) & ~prim_inf
+        # dual infeasibility via dx = x - xbar (termination.c:156-216)
+        norm_Ddx = _norm_inf(sc.D * dx_c)
+        Adx_c = sc.Einv * Adx_c_raw
+        eps_dinf = jnp.asarray(settings.eps_dual_inf, dt)
+        thr = eps_dinf * norm_Ddx
+        rows_bad = jnp.any((sp.u_finite * (Adx_c >= thr) > 0)
+                           | (sp.l_finite * (Adx_c <= -thr) > 0))
+        if settings.proximal:
+            # quirk preserved from termination.c:200-202: - sigma*tau*dx
+            Qdx_c = Qdx_c - s.sigma * s.tau * dx_c
+        dual_inf = ((norm_Ddx > 0) & ~rows_bad
+                    & (_norm_inf(Qdx_c) <= sc.c * thr)
+                    & (jnp.dot(d.q, dx_c) <= -sc.c * thr))
+        dual_inf &= can_check & (settings.eps_dual_inf > 0) & ~prim_inf
+    else:
+        prim_inf = jnp.asarray(False)
+        dual_inf = jnp.asarray(False)
 
     # mu update (iteration.c:127-168), gated on oter>0 and outer primal
     # residual still above tolerance (qpdo.c:400-402)

@@ -17,6 +17,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _sync(res):
     np.asarray(res.info.status_val)
@@ -89,7 +91,7 @@ def bench_degenerate():
 
     B, n, m = 64, 80, 60
     p = make_batch(B, n, m, seed=7, rank_frac=0.5)
-    A = np.asarray(p.A)
+    A = np.array(p.A)
     A[:, m // 2:, :] = A[:, : m - m // 2, :]   # duplicate rows -> redundancy
     p = p._replace(A=jnp.asarray(A))
     s = qt.Settings(eps_abs=1e-6, max_iter=400, inner_max_iter=50,

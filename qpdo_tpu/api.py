@@ -19,7 +19,7 @@ import numpy as np
 from . import constants as _c
 from .solver.core import solve_scaled
 from .solver.driver import solve_driven
-from .solver.scaling import scale_problem, ruiz_equilibrate, limit_scaling
+from .solver.scaling import scale_problem, ruiz_equilibrate
 from .types import Problem, Result, ScaledProblem, Scaling, Settings
 from .validate import validate_data, validate_settings
 

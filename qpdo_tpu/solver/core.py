@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from .. import constants as _c
 from ..ops.linalg import newton_system_solve
 from ..ops.linesearch import exact_linesearch
-from ..types import Info, Problem, Result, ScaledProblem, Settings, SolverState
+from ..types import Info, Result, ScaledProblem, Settings, SolverState
 
 
 def _norm_inf(v):
@@ -166,28 +166,37 @@ def step(sp: ScaledProblem, settings: Settings, s: SolverState) -> SolverState:
     dy_c = s.y - s.ybar                     # primal certificate direction
     dx_c = s.x - s.xbar                     # dual certificate direction
 
-    if check_inf:
-        At2 = d.A.T @ jnp.stack([ytilde, dy_c], axis=-1)   # (n, 2)
-        At_ytilde, Atdy_c_raw = At2[:, 0], At2[:, 1]
-    else:
-        At_ytilde = d.A.T @ ytilde
-        Atdy_c_raw = None
+    # Reduced-precision matvecs where the error analysis allows it (the
+    # state dtype may be emulated float64 on TPU, ~3ms per GEMM):
+    # - A'ytilde feeds the Newton rhs, whose accuracy is already bounded by
+    #   the kkt_dtype refinement.
+    # - Q dx feeds the linesearch and the Qx cache increment tau*Qdx; the
+    #   increment's absolute error is eps(kdt)*||Q||*||dx||, which summed
+    #   over the solve path stays far below eps_abs.
+    # Everything dividing by mu (A dx -> dy, newton.c:60-63) or feeding the
+    # eps-relative infeasibility tests stays in the state dtype.
+    kdt = jnp.dtype(settings.kkt_dtype) if settings.kkt_dtype else dt
+    A_k = d.A.astype(kdt)
+    At_ytilde = (A_k.T @ ytilde.astype(kdt)).astype(dt)
     rhs = -(res_dual_in + At_ytilde)
     dx = newton_system_solve(d.Q, d.A, active, s.mu, s.sigma, rhs,
                              settings.proximal, settings.refine_steps,
                              settings.kkt_dtype)
+    Qdx_pure = (d.Q.astype(kdt) @ dx.astype(kdt)).astype(dt)
     if check_inf:
-        QV = d.Q @ jnp.stack([dx, dx_c], axis=-1)          # (n, 2)
         AV = d.A @ jnp.stack([dx, dx_c], axis=-1)          # (m, 2)
-        Qdx_pure, Qdx_c = QV[:, 0], QV[:, 1]
         Adx, Adx_c_raw = AV[:, 0], AV[:, 1]
+        Qdx_c = d.Q @ dx_c
     else:
-        Qdx_pure = d.Q @ dx
         Adx = d.A @ dx
-        Qdx_c = Adx_c_raw = None
+        Qdx_c = Adx_c_raw = Atdy_c_raw = None
     Qdx = Qdx_pure + s.sigma * dx if settings.proximal else Qdx_pure
     dy = ytilde + active * (Adx / s.mu)               # newton.c:60-63
-    Atdy = d.A.T @ dy
+    if check_inf:
+        AtV = d.A.T @ jnp.stack([dy, dy_c], axis=-1)       # (n, 2)
+        Atdy, Atdy_c_raw = AtV[:, 0], AtV[:, 1]
+    else:
+        Atdy = d.A.T @ dy
     tau = exact_linesearch(dx, dy, Qdx, Adx, df, s.y, w, s.mu, d.l, d.u)
     # iterate + cache updates (iteration.c:19-24); Qx cache is pure Q@x here
     x_nwt = s.x + tau * dx

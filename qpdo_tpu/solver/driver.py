@@ -18,7 +18,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .. import constants as _c
 from ..types import Result, ScaledProblem, Settings

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as _c
-from ..ops.linalg import cholesky_solve, jacobi_cholesky
+from ..ops.linalg import cholesky_solve
 from ..ops.linesearch import pwa_root
 from ..types import Info, Settings
 

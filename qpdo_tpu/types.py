@@ -24,10 +24,9 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
-import jax.numpy as jnp
 
 from . import constants as _c
 

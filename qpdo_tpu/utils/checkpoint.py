@@ -13,8 +13,6 @@ checkpointing is a direct save/load.  Two levels:
 
 from __future__ import annotations
 
-import json
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -23,7 +23,6 @@ from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .. import constants as _c
 from ..types import Problem

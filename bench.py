@@ -41,7 +41,7 @@ def main():
     # polish (float32 KKT) to 1e-6; matmuls at HIGHEST precision
     settings = qt.Settings(eps_abs=1e-6, max_iter=300, inner_max_iter=50,
                            refine_steps=2, kkt_dtype="float32",
-                           hybrid_warmup=True)
+                           hybrid_warmup=True, mu_min=1e-7)
 
     def run_sync():
         res = _solve_batch(problems, settings, None, None, False, False)

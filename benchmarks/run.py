@@ -52,7 +52,8 @@ def bench_demo():
     B, n, m = 256, 100, 150
     p = make_batch(B, n, m)
     s = qt.Settings(eps_abs=1e-6, max_iter=300, inner_max_iter=50,
-                    refine_steps=2, kkt_dtype="float32", hybrid_warmup=True)
+                    refine_steps=2, kkt_dtype="float32", hybrid_warmup=True,
+                    mu_min=1e-7)
     run = lambda: _sync(_solve_batch(p, s, None, None, False, False))
     res = run()
     t0 = time.perf_counter()
@@ -93,9 +94,17 @@ def bench_degenerate():
     p = make_batch(B, n, m, seed=7, rank_frac=0.5)
     A = np.array(p.A)
     A[:, m // 2:, :] = A[:, : m - m // 2, :]   # duplicate rows -> redundancy
-    p = p._replace(A=jnp.asarray(A))
+    # box rows on all variables keep the problem bounded (rank-deficient Q
+    # with an unconstrained null direction is genuinely dual infeasible)
+    I = np.broadcast_to(np.eye(n), (B, n, n))
+    A_full = np.concatenate([A, I], axis=1)
+    l_full = np.concatenate([np.asarray(p.l), -2.0 * np.ones((B, n))], axis=1)
+    u_full = np.concatenate([np.asarray(p.u), 2.0 * np.ones((B, n))], axis=1)
+    p = p._replace(A=jnp.asarray(A_full), l=jnp.asarray(l_full),
+                   u=jnp.asarray(u_full))
     s = qt.Settings(eps_abs=1e-6, max_iter=400, inner_max_iter=50,
-                    refine_steps=2, kkt_dtype="float32", hybrid_warmup=True)
+                    refine_steps=2, kkt_dtype="float32", hybrid_warmup=True,
+                    mu_min=1e-7)
     res = _sync(_solve_batch(p, s, None, None, False, False))
     st = np.asarray(res.info.status_val)
     return {"config": "degenerate", "solved_fraction": float((st == 1).mean()),
@@ -112,7 +121,8 @@ def bench_mpc():
     B, n, m = 256, 100, 150
     p = make_batch(B, n, m, seed=3)
     s = qt.Settings(eps_abs=1e-6, max_iter=300, inner_max_iter=50,
-                    refine_steps=2, kkt_dtype="float32", hybrid_warmup=True)
+                    refine_steps=2, kkt_dtype="float32", hybrid_warmup=True,
+                    mu_min=1e-7)
     cold = _sync(_solve_batch(p, s, None, None, False, False))
     rng = np.random.default_rng(4)
     p2 = p._replace(q=p.q + 1e-3 * jnp.asarray(rng.standard_normal((B, n))))
@@ -149,7 +159,8 @@ def bench_maros():
     solved = attempted = 0
     t_total = 0.0
     s = qt.Settings(eps_abs=1e-6, max_iter=2000, inner_max_iter=100,
-                    refine_steps=2, kkt_dtype="float32", hybrid_warmup=True)
+                    refine_steps=2, kkt_dtype="float32", hybrid_warmup=True,
+                    mu_min=1e-7)
     for f in files:
         d = reader(os.path.join(mm_dir, f))
         if d.Q.shape[0] > max_n:

@@ -91,6 +91,10 @@ class Settings:
     # solver state is float64): keeps the O(mn^2)+O(n^3) work on the fast
     # MXU path, with refinement recovering state-dtype accuracy.
     # None = same dtype as the problem data.
+    # NOTE: a float32 factorization cannot carry cond(K) ~ 1/mu beyond
+    # ~1e7; combine kkt_dtype="float32" with mu_min >= 1e-7, or the dual
+    # residual floors around 1e-5 on problems whose penalties collapse
+    # (warm starts and degenerate actives are the typical triggers).
     kkt_dtype: str | None = None
     # Two-phase precision ("hybrid warmup"): run the whole solver in float32
     # to ``warmup_eps`` (with a float32-safe mu floor), then upcast the

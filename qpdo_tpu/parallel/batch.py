@@ -38,11 +38,89 @@ def _solve_batch(problems: Problem, settings: Settings, x0, y0,
 
 
 def solve_batch(problems: Problem, settings: Optional[Settings] = None,
-                x0=None, y0=None) -> Result:
-    """Solve a batch of QPs (leading batch axis on every Problem leaf)."""
+                x0=None, y0=None, compact: bool = False) -> Result:
+    """Solve a batch of QPs (leading batch axis on every Problem leaf).
+
+    ``compact=True`` enables straggler compaction (see
+    ``_solve_batch_compact``): the lock-step loop otherwise runs the whole
+    batch until its slowest problem converges."""
     settings = settings or Settings()
+    if compact:
+        return _solve_batch_compact(problems, settings, x0, y0,
+                                    x0 is not None, y0 is not None)
     return _solve_batch(problems, settings, x0, y0,
                         x0 is not None, y0 is not None)
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "warm_x", "warm_y"))
+def _solve_batch_compact(problems: Problem, settings: Settings, x0, y0,
+                         warm_x: bool, warm_y: bool) -> Result:
+    """Batched solve with straggler compaction.
+
+    The plain lock-step batch pays full-batch cost until the *slowest*
+    problem converges.  Here each phase runs full-batch only while more
+    than ~1/4 of the problems are active, then repeatedly gathers the
+    remaining stragglers into a B/4 sub-batch and finishes them at a
+    quarter of the per-iteration cost.  Exact per-problem semantics are
+    unchanged (states are gathered/scattered whole)."""
+    from ..solver import core
+    from .. import constants as _c
+    import jax.numpy as jnp
+
+    B = problems.q.shape[0]
+    K = max(1, B // 4)
+
+    sps = jax.vmap(lambda p: scale_problem(p, settings.scaling))(problems)
+
+    def run_compact(sp_b, stg, state, iter_cap):
+        step_v = jax.vmap(lambda sp1, s1: core.step(sp1, stg, s1))
+
+        def active_of(st):
+            return (st.status == _c.UNSOLVED) & (st.iter < iter_cap)
+
+        # full-batch phase while enough problems are active
+        def cond1(st):
+            return jnp.sum(active_of(st)) > K
+        st = jax.lax.while_loop(cond1, lambda st: step_v(sp_b, st), state)
+
+        # compaction rounds: gather <=K stragglers, run them to completion
+        run_v = jax.vmap(
+            lambda sp1, s1: core.run_loop(sp1, stg, s1, iter_cap))
+
+        def cond2(st):
+            return jnp.any(active_of(st))
+
+        def body2(st):
+            order = jnp.argsort(~active_of(st))     # actives first, stable
+            idx = order[:K]
+            sub_sp = jax.tree.map(lambda a: a[idx], sp_b)
+            sub = jax.tree.map(lambda a: a[idx], st)
+            sub = run_v(sub_sp, sub)
+            return jax.tree.map(lambda a, b: a.at[idx].set(b), st, sub)
+
+        return jax.lax.while_loop(cond2, body2, st)
+
+    hybrid = settings.hybrid_warmup and sps.data.Q.dtype != jnp.float32
+    if hybrid:
+        stg1 = core.warmup_settings(settings)
+        sp32 = core.cast_scaled_problem(sps, jnp.float32)
+        x032 = None if x0 is None else x0.astype(jnp.float32)
+        y032 = None if y0 is None else y0.astype(jnp.float32)
+        s = jax.vmap(lambda sp1, xw, yw: core.init_state(
+            sp1, stg1, xw, yw, warm_x, warm_y),
+            in_axes=(0, 0 if warm_x else None, 0 if warm_y else None))(
+                sp32, x032, y032)
+        s = run_compact(sp32, stg1, s, core.warmup_iter_cap(settings))
+        s = jax.vmap(lambda sp1, s1: core.upcast_state(sp1, settings, s1))(
+            sps, s)
+    else:
+        s = jax.vmap(lambda sp1, xw, yw: core.init_state(
+            sp1, settings, xw, yw, warm_x, warm_y),
+            in_axes=(0, 0 if warm_x else None, 0 if warm_y else None))(
+                sps, x0, y0)
+
+    s = run_compact(sps, settings, s, settings.max_iter)
+    return jax.vmap(lambda sp1, s1: core.finalize(sp1, settings, s1))(sps, s)
 
 
 def shard_problems(problems: Problem, mesh: Mesh, axis: str = "batch") -> Problem:

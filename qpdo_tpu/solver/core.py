@@ -376,38 +376,56 @@ def finalize(sp: ScaledProblem, settings: Settings, s: SolverState,
                   dual_inf_cert=dx_cert, info=info)
 
 
-def _warmup_pass(sp: ScaledProblem, settings: Settings,
-                 x0, y0, warm_x: bool, warm_y: bool) -> SolverState:
-    """Phase 1 of the hybrid solve: run the full algorithm in float32 to
-    ``warmup_eps``, then upcast the state and recompute the caches exactly.
+def warmup_settings(settings: Settings) -> Settings:
+    """Phase-1 settings of the hybrid solve: float32-safe tolerances.
 
-    Float32 specifics (empirical, see README "Precision model"): the
-    reliable float32 residual floor is ~1e-3, and the reference's
-    aggressive per-row mu shrink (factor up to 1/delta = 100 per outer
-    iteration, iteration.c:136) must be floored at ``warmup_mu_min`` or
-    cond(K) exceeds what a float32 Cholesky can carry.  Infeasibility
-    checks are deferred to the accurate phase (their eps-relative tests sit
-    inside float32 noise).
-    """
-    dt = sp.data.Q.dtype
-    s32_settings = settings.replace(
+    The reliable float32 residual floor is ~1e-3 (README "Precision
+    model"), and the reference's aggressive per-row mu shrink (factor up to
+    1/delta = 100 per outer iteration, iteration.c:136) must be floored at
+    ``warmup_mu_min`` or cond(K) exceeds what a float32 Cholesky can carry.
+    Infeasibility checks are deferred to the accurate phase (their
+    eps-relative tests sit inside float32 noise)."""
+    return settings.replace(
         eps_abs=settings.warmup_eps,
         mu_min=max(settings.mu_min, settings.warmup_mu_min),
         eps_prim_inf=0.0, eps_dual_inf=0.0,
         kkt_dtype=None, refine_steps=1, hybrid_warmup=False)
+
+
+def cast_scaled_problem(sp: ScaledProblem, to_dtype) -> ScaledProblem:
+    from_dt = sp.data.Q.dtype
+    return jax.tree.map(
+        lambda a: a.astype(to_dtype) if a.dtype == from_dt else a, sp)
+
+
+def warmup_iter_cap(settings: Settings) -> int:
+    """Leave at least half the iteration budget to the accurate phase: an
+    infeasible problem never reaches warmup_eps and would otherwise starve
+    phase 2 of the iterations where detection happens."""
+    return max(1, settings.max_iter // 2)
+
+
+def _warmup_pass(sp: ScaledProblem, settings: Settings,
+                 x0, y0, warm_x: bool, warm_y: bool) -> SolverState:
+    """Phase 1 of the hybrid solve: run the full algorithm in float32 to
+    ``warmup_eps``, then upcast the state and recompute the caches exactly."""
+    s32_settings = warmup_settings(settings)
     f32 = jnp.float32
-    sp32 = jax.tree.map(lambda a: a.astype(f32) if a.dtype == dt else a, sp)
+    sp32 = cast_scaled_problem(sp, f32)
     x032 = None if x0 is None else x0.astype(f32)
     y032 = None if y0 is None else y0.astype(f32)
     s = init_state(sp32, s32_settings, x032, y032, warm_x, warm_y)
-    # leave at least half the iteration budget to the accurate phase: an
-    # infeasible problem never reaches warmup_eps and would otherwise
-    # starve phase 2 of the iterations where detection happens
-    s = run_loop(sp32, s32_settings, s, max(1, settings.max_iter // 2))
+    s = run_loop(sp32, s32_settings, s, warmup_iter_cap(settings))
+    return upcast_state(sp, settings, s)
 
-    # upcast: exact caches in the target dtype; phase-1 "solved" is only
-    # solved to warmup_eps, so reset it (infeasibility/divergence latches
-    # are disabled in phase 1; NON_CVX is kept)
+
+@_with_matmul_precision
+def upcast_state(sp: ScaledProblem, settings: Settings,
+                 s: SolverState) -> SolverState:
+    """Upcast a phase-1 state: exact caches in the target dtype; phase-1
+    "solved" is only solved to warmup_eps, so reset it (infeasibility /
+    divergence latches are disabled in phase 1; NON_CVX is kept)."""
+    dt = sp.data.Q.dtype
     up = lambda a: a.astype(dt)
     x, y = up(s.x), up(s.y)
     status = jnp.where(s.status == _c.SOLVED, _c.UNSOLVED, s.status)

@@ -76,6 +76,23 @@ def test_batch_mixed_status():
     assert int(res.info.status_val[2]) == qt.DUAL_INFEASIBLE
 
 
+def test_batch_compact_identical():
+    """Straggler compaction must not change any per-problem result."""
+    B, n, m = 12, 24, 18
+    problems = _batch_problems(B, n, m, seed0=400)
+    for s in (qt.Settings(max_iter=300, inner_max_iter=50),
+              qt.Settings(max_iter=300, inner_max_iter=50,
+                          kkt_dtype="float32", refine_steps=2,
+                          hybrid_warmup=True, mu_min=1e-7)):
+        r1 = solve_batch(problems, s)
+        r2 = solve_batch(problems, s, compact=True)
+        np.testing.assert_array_equal(np.asarray(r1.info.status_val),
+                                      np.asarray(r2.info.status_val))
+        np.testing.assert_array_equal(np.asarray(r1.info.iterations),
+                                      np.asarray(r2.info.iterations))
+        np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+
+
 def test_batch_sharded_over_mesh():
     devs = jax.devices()
     assert len(devs) >= 8, "conftest must provide 8 virtual CPU devices"

@@ -91,6 +91,23 @@ def init_state(sp: ScaledProblem, settings: Settings,
         0.1 * jnp.maximum(one, 0.5 * r * r) / jnp.maximum(one, jnp.abs(f)),
         1e-3, 1e3)
 
+    if (warm_x or warm_y) and settings.warm_mu_adapt:
+        # TPU extension (no reference equivalent): scale the initial
+        # penalties by the warm point's own KKT residual.  The
+        # Birgin-Martinez formula floors mu at 1e-3 regardless of warm
+        # quality, which makes the first subproblems *move away* from a
+        # near-optimal warm start and re-converge from scratch (~100
+        # wasted iterations in the MPC re-solve workflow); a near-optimal
+        # point justifies near-final penalties.  A bad warm point (large
+        # residual) keeps scale 1 and reference behaviour.
+        y_term = (sc.E * sc.E / sc.c) * y
+        rp0 = jnp.max(jnp.abs(sc.Einv * (Ax - jnp.clip(Ax + y_term,
+                                                       d.l, d.u))))
+        rd0 = jnp.max(jnp.abs(sc.Dinv * (Qx + d.q + Aty))) / sc.c
+        quality = jnp.maximum(rp0, rd0)
+        mu_scale = jnp.clip(quality, settings.warm_mu_scale_min, 1.0)
+        mu = jnp.maximum(mu * mu_scale, jnp.asarray(settings.mu_min, dt))
+
     zero = jnp.asarray(0.0, dt)
     i0 = jnp.asarray(0, jnp.int32)
     return SolverState(

@@ -105,6 +105,14 @@ class Settings:
     hybrid_warmup: bool = False
     warmup_eps: float = 1e-3
     warmup_mu_min: float = 1e-4
+    # Warm-start penalty adaptation: scale the initial mu by the warm
+    # point's KKT residual, clipped below at warm_mu_scale_min (see
+    # solver/core.py init_state).  Near-optimal warm starts (the MPC
+    # re-solve workflow) then converge in a handful of iterations instead
+    # of re-walking the whole penalty schedule.  Set False for exact
+    # reference warm-start semantics.
+    warm_mu_adapt: bool = True
+    warm_mu_scale_min: float = 1e-2
     # Matmul precision for every dot/matvec in the solver.  TPUs default to
     # bfloat16 passes for float32 matmuls, which silently destroys the
     # residual accuracy the tolerances rely on; "highest" forces full

@@ -22,7 +22,7 @@ def main():
 
     import jax.numpy as jnp
     import qpdo_tpu as qt
-    from qpdo_tpu.parallel.batch import _solve_batch
+    from qpdo_tpu.parallel.batch import _solve_batch_compact
 
     B = int(os.environ.get("QPDO_BENCH_B", 256))
     n, m = 100, 150
@@ -44,7 +44,10 @@ def main():
                            hybrid_warmup=True, mu_min=1e-7)
 
     def run_sync():
-        res = _solve_batch(problems, settings, None, None, False, False)
+        # straggler compaction: bitwise-identical per-problem results,
+        # the unsolved tail finishes in a B/4 sub-batch
+        res = _solve_batch_compact(problems, settings, None, None,
+                                   False, False)
         # force full execution via host transfer (block_until_ready is
         # unreliable on the experimental axon platform)
         np.asarray(res.info.status_val)

@@ -1,0 +1,148 @@
+"""Micro-batching solver service — the production serving runtime.
+
+The reference's serving story is a process-global workspace behind a MEX
+singleton (interfaces/mex/qpdo_mex.c:22); the TPU-native equivalent is a
+service that turns an arbitrary stream of QP requests into lock-step
+batched device solves:
+
+- requests queue up; a worker drains them in micro-batches (up to
+  ``max_batch``, waiting at most ``max_wait_ms`` for stragglers),
+- problems are padded to shape buckets (utils/padding.py) so a handful of
+  compiled programs cover arbitrary sizes,
+- warm-started and cold requests batch separately (their init paths
+  differ),
+- callers get ``concurrent.futures.Future``s; results are exactly those of
+  the equivalent direct ``solve`` call (padding is inert).
+
+Single device, single worker; scale-out across chips is the caller's
+choice of ``parallel.solve_batch_sharded`` instead.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+import jax
+
+from .parallel.batch import _solve_batch
+from .types import Problem, Result, Settings
+from .utils.padding import pad_problem, unpad_result, _round_up
+
+
+@dataclass
+class _Request:
+    problem: Problem
+    x0: object
+    y0: object
+    future: Future
+    shape: Tuple[int, int]
+
+
+class SolverService:
+    """Threaded micro-batching QP solver front-end."""
+
+    def __init__(self, settings: Optional[Settings] = None,
+                 max_batch: int = 64, max_wait_ms: float = 5.0,
+                 n_mult: int = 32, m_mult: int = 32):
+        self._settings = settings or Settings()
+        self._max_batch = max_batch
+        self._max_wait = max_wait_ms / 1000.0
+        self._n_mult = n_mult
+        self._m_mult = m_mult
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._stopped = False
+        self._worker.start()
+
+    # -- client API --------------------------------------------------------
+
+    def submit(self, problem: Problem, x0=None, y0=None) -> Future:
+        """Enqueue a QP; returns a Future[Result]."""
+        if self._stopped:
+            raise RuntimeError("service is shut down")
+        fut: Future = Future()
+        self._queue.put(_Request(problem=problem, x0=x0, y0=y0, future=fut,
+                                 shape=(problem.n, problem.m)))
+        return fut
+
+    def solve(self, problem: Problem, x0=None, y0=None,
+              timeout: Optional[float] = None) -> Result:
+        """Blocking convenience wrapper."""
+        return self.submit(problem, x0, y0).result(timeout)
+
+    def shutdown(self, wait: bool = True) -> None:
+        self._stopped = True
+        self._queue.put(None)
+        if wait:
+            self._worker.join()
+
+    # -- worker ------------------------------------------------------------
+
+    def _collect(self) -> Sequence[_Request]:
+        """Block for one request, then drain up to max_batch within the
+        micro-batching window."""
+        first = self._queue.get()
+        if first is None:
+            return ()
+        batch = [first]
+        import time
+        deadline = time.perf_counter() + self._max_wait
+        while len(batch) < self._max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req is None:
+                self._queue.put(None)  # keep the stop signal for later
+                break
+            batch.append(req)
+        return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._collect()
+            if not batch:
+                return
+            try:
+                self._dispatch(batch)
+            except Exception as e:  # pragma: no cover - defensive
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+
+    def _dispatch(self, batch: Sequence[_Request]) -> None:
+        import jax.numpy as jnp
+
+        # group by (padded shape, warm-ness): init paths differ statically
+        groups = {}
+        for req in batch:
+            key = (_round_up(req.shape[0], self._n_mult),
+                   _round_up(req.shape[1], self._m_mult),
+                   req.x0 is not None, req.y0 is not None)
+            groups.setdefault(key, []).append(req)
+
+        for (n_pad, m_pad, warm_x, warm_y), reqs in groups.items():
+            padded = [pad_problem(r.problem, n_pad, m_pad) for r in reqs]
+            problems = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+            x0 = y0 = None
+            if warm_x:
+                x0 = jnp.stack([
+                    jnp.zeros((n_pad,), problems.q.dtype).at[: r.shape[0]]
+                    .set(jnp.asarray(r.x0)) for r in reqs])
+            if warm_y:
+                y0 = jnp.stack([
+                    jnp.zeros((m_pad,), problems.q.dtype).at[: r.shape[1]]
+                    .set(jnp.asarray(r.y0)) for r in reqs])
+            res = _solve_batch(problems, self._settings, x0, y0,
+                               warm_x, warm_y)
+            for k, req in enumerate(reqs):
+                one = jax.tree.map(lambda a: a[k], res)
+                req.future.set_result(
+                    unpad_result(one, req.shape[0], req.shape[1]))

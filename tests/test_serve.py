@@ -1,0 +1,83 @@
+"""SolverService: micro-batched serving matches direct solves."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import qpdo_tpu as qt
+from qpdo_tpu.serve import SolverService
+
+from utils import kkt_residuals, random_qp
+
+
+@pytest.fixture(scope="module")
+def service():
+    svc = SolverService(max_batch=8, max_wait_ms=30)
+    yield svc
+    svc.shutdown()
+
+
+def test_single_request_matches_direct(service):
+    Q, q, A, l, u = random_qp(20, 15, seed=0)
+    p = qt.make_problem(Q, q, A, l, u)
+    res = service.solve(p, timeout=300)
+    direct = qt.solve(p)
+    assert int(res.info.status_val) == qt.SOLVED
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(direct.x),
+                               atol=1e-10)
+
+
+def test_concurrent_mixed_sizes(service):
+    sizes = [(12, 9), (20, 15), (40, 28), (12, 9), (33, 40), (20, 15)]
+    probs, datas = [], []
+    for i, (n, m) in enumerate(sizes):
+        Q, q, A, l, u = random_qp(n, m, seed=10 + i)
+        probs.append(qt.make_problem(Q, q, A, l, u))
+        datas.append((Q, q, A, l, u))
+
+    futures = [None] * len(probs)
+
+    def submit(i):
+        futures[i] = service.submit(probs[i])
+
+    threads = [threading.Thread(target=submit, args=(i,))
+               for i in range(len(probs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for i, fut in enumerate(futures):
+        res = fut.result(timeout=300)
+        n, m = sizes[i]
+        assert res.x.shape == (n,)
+        assert int(res.info.status_val) == qt.SOLVED
+        rp, rd = kkt_residuals(*datas[i], res.x, res.y)
+        assert rp <= 1e-6 and rd <= 1e-6
+
+
+def test_warm_request(service):
+    Q, q, A, l, u = random_qp(18, 14, seed=30)
+    p = qt.make_problem(Q, q, A, l, u)
+    cold = service.solve(p, timeout=300)
+    warm = service.solve(p, x0=cold.x, y0=cold.y, timeout=300)
+    assert int(warm.info.status_val) == qt.SOLVED
+    assert int(warm.info.iterations) < int(cold.info.iterations)
+
+
+def test_infeasible_request(service):
+    Q = np.array([[1.0, 0.0], [0.0, 0.0]])
+    q = np.array([1.0, 0.0])
+    A = np.array([[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]])
+    p = qt.make_problem(Q, q, A, [-np.inf, 1, 1], [0.0, 3, 3])
+    res = service.solve(p, timeout=300)
+    assert int(res.info.status_val) == qt.PRIMAL_INFEASIBLE
+
+
+def test_shutdown_rejects():
+    svc = SolverService()
+    svc.shutdown()
+    with pytest.raises(RuntimeError):
+        svc.submit(qt.make_problem(np.eye(2), [0, 0], np.eye(2),
+                                   [-1, -1], [1, 1]))

@@ -157,3 +157,12 @@ def test_max_iter_status():
     res = _solve(Q, q, A, l, u, settings=qt.Settings(max_iter=3))
     assert int(res.info.status_val) == qt.MAX_ITER_REACHED
     assert int(res.info.iterations) == 3
+
+
+def test_large_problem():
+    """A single larger QP (n=600, m=400) through the dense path."""
+    Q, q, A, l, u = random_qp(600, 400, seed=42, rcond=1e-2)
+    res = _solve(Q, q, A, l, u)
+    assert int(res.info.status_val) == qt.SOLVED
+    rp, rd = kkt_residuals(Q, q, A, l, u, res.x, res.y)
+    assert rp <= EPS and rd <= EPS

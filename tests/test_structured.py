@@ -99,3 +99,19 @@ def test_warm_start_structured():
     x0b, xsb, yb, info2 = solve_block_angular(p, SETTINGS, warm=(x0, xs, y))
     assert int(info2.status_val) == qt.SOLVED
     assert int(info2.iterations) <= cold_iters
+
+
+def test_vmapped_structured_batch():
+    """A batch of block-angular instances via vmap (scenario MPC fleets)."""
+    import jax
+
+    probs = [_random_bap(seed=s) for s in (10, 11, 12)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *probs)
+    solve = jax.vmap(lambda p: solve_block_angular(p, SETTINGS))
+    x0, xs, y, info = solve(batch)
+    assert x0.shape[0] == 3
+    for k in range(3):
+        assert int(info.status_val[k]) == qt.SOLVED
+        ref = solve_block_angular(probs[k], SETTINGS)
+        np.testing.assert_allclose(np.asarray(x0[k]), np.asarray(ref[0]),
+                                   atol=1e-9)

@@ -140,6 +140,43 @@ def bench_mpc():
             "mean_iters_cold": float(np.asarray(cold.info.iterations).mean())}
 
 
+def bench_structured():
+    """Block-angular (scenario) solve via the distributed arrow-KKT path."""
+    import jax
+    import jax.numpy as jnp
+    import qpdo_tpu as qt
+    from qpdo_tpu.solver.structured import (BlockAngularProblem,
+                                            solve_block_angular)
+
+    rng = np.random.default_rng(0)
+    S, ms, n0, ns = 32, 24, 16, 24
+    M0 = rng.standard_normal((n0, n0)) / np.sqrt(n0)
+    Ms = rng.standard_normal((S, ns, ns)) / np.sqrt(ns)
+    p = BlockAngularProblem(
+        Q0=jnp.asarray(M0 @ M0.T + 0.5 * np.eye(n0)),
+        Qs=jnp.asarray(np.einsum("sij,skj->sik", Ms, Ms) + 0.5 * np.eye(ns)),
+        q0=jnp.asarray(rng.standard_normal(n0)),
+        qs=jnp.asarray(rng.standard_normal((S, ns))),
+        T=jnp.asarray(rng.standard_normal((S, ms, n0)) * 0.5),
+        W=jnp.asarray(rng.standard_normal((S, ms, ns))),
+        l=jnp.asarray(-rng.random((S, ms)) - 0.1),
+        u=jnp.asarray(rng.random((S, ms)) + 0.1),
+        c=jnp.asarray(0.0))
+    s = qt.Settings(scaling=0, eps_prim_inf=0.0, eps_dual_inf=0.0,
+                    max_iter=500)
+    f = jax.jit(lambda pp: solve_block_angular(pp, s))
+    x0, xs, y, info = f(p)
+    np.asarray(info.status_val)
+    t0 = time.perf_counter()
+    x0, xs, y, info = f(p)
+    np.asarray(info.status_val)
+    dt = time.perf_counter() - t0
+    n_total = n0 + S * ns
+    return {"config": "structured", "status": int(info.status_val),
+            "iters": int(info.iterations), "n_total": n_total,
+            "scenarios": S, "solve_time_s": round(dt, 3)}
+
+
 def bench_maros():
     """Config 4: Maros-Mészáros subset from QPDO_MM_DIR (skipped if unset)."""
     import qpdo_tpu as qt
@@ -178,7 +215,7 @@ def bench_maros():
 
 CONFIGS = {"demo": bench_demo, "infeasibility": bench_infeasibility,
            "degenerate": bench_degenerate, "mpc": bench_mpc,
-           "maros": bench_maros}
+           "structured": bench_structured, "maros": bench_maros}
 
 
 def main(argv):

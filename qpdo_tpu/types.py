@@ -113,6 +113,10 @@ class Settings:
     # reference warm-start semantics.
     warm_mu_adapt: bool = True
     warm_mu_scale_min: float = 1e-2
+    # Matmul precision for the float32 warmup phase only (it targets
+    # warmup_eps ~ 1e-3, so "tensorfloat32" 3-pass arithmetic can be a
+    # faster choice than "highest" on TPU).
+    warmup_matmul_precision: str = "highest"
     # Matmul precision for every dot/matvec in the solver.  TPUs default to
     # bfloat16 passes for float32 matmuls, which silently destroys the
     # residual accuracy the tolerances rely on; "highest" forces full

@@ -40,6 +40,7 @@ def main():
     # two-phase precision: full float32 solve to 1e-3, then float64-state
     # polish (float32 KKT) to 1e-6; matmuls at HIGHEST precision
     settings = qt.Settings(eps_abs=1e-6, max_iter=300, inner_max_iter=50,
+                           eps_abs_in=0.1, rho=0.02, delta=0.1,
                            refine_steps=2, kkt_dtype="float32",
                            hybrid_warmup=True, mu_min=1e-7)
 

@@ -52,6 +52,7 @@ def bench_demo():
     B, n, m = 256, 100, 150
     p = make_batch(B, n, m)
     s = qt.Settings(eps_abs=1e-6, max_iter=300, inner_max_iter=50,
+                    eps_abs_in=0.1, rho=0.02, delta=0.1,
                     refine_steps=2, kkt_dtype="float32", hybrid_warmup=True,
                     mu_min=1e-7)
     run = lambda: _sync(_solve_batch(p, s, None, None, False, False))
@@ -103,6 +104,7 @@ def bench_degenerate():
     p = p._replace(A=jnp.asarray(A_full), l=jnp.asarray(l_full),
                    u=jnp.asarray(u_full))
     s = qt.Settings(eps_abs=1e-6, max_iter=400, inner_max_iter=50,
+                    eps_abs_in=0.1, rho=0.02, delta=0.1,
                     refine_steps=2, kkt_dtype="float32", hybrid_warmup=True,
                     mu_min=1e-7)
     res = _sync(_solve_batch(p, s, None, None, False, False))
@@ -121,6 +123,7 @@ def bench_mpc():
     B, n, m = 256, 100, 150
     p = make_batch(B, n, m, seed=3)
     s = qt.Settings(eps_abs=1e-6, max_iter=300, inner_max_iter=50,
+                    eps_abs_in=0.1, rho=0.02, delta=0.1,
                     refine_steps=2, kkt_dtype="float32", hybrid_warmup=True,
                     mu_min=1e-7)
     cold = _sync(_solve_batch(p, s, None, None, False, False))
@@ -196,6 +199,7 @@ def bench_maros():
     solved = attempted = 0
     t_total = 0.0
     s = qt.Settings(eps_abs=1e-6, max_iter=2000, inner_max_iter=100,
+                    eps_abs_in=0.1, rho=0.02, delta=0.1,
                     refine_steps=2, kkt_dtype="float32", hybrid_warmup=True,
                     mu_min=1e-7)
     for f in files:

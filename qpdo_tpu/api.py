@@ -40,10 +40,8 @@ def make_problem(Q, q, A, l, u, c=0.0, dtype=None) -> Problem:
         Q=Q,
         q=jnp.asarray(q, dt).reshape(-1),
         A=jnp.asarray(A, dt).reshape(-1, Q.shape[-1]),
-        l=jnp.clip(jnp.nan_to_num(jnp.asarray(l, dt).reshape(-1),
-                                  neginf=-inf, posinf=inf), -inf, inf),
-        u=jnp.clip(jnp.nan_to_num(jnp.asarray(u, dt).reshape(-1),
-                                  neginf=-inf, posinf=inf), -inf, inf),
+        l=jnp.clip(jnp.asarray(l, dt).reshape(-1), -inf, inf),
+        u=jnp.clip(jnp.asarray(u, dt).reshape(-1), -inf, inf),
         c=jnp.asarray(c, dt),
     )
 
@@ -175,10 +173,14 @@ class QPDO:
         new_l, new_u = d.l, d.u
         lf, uf = sp.l_finite, sp.u_finite
         if l is not None:
+            if np.any(np.isnan(np.asarray(l))):
+                raise ValueError("bounds must not contain NaN")
             lr = jnp.clip(jnp.asarray(l, dt).reshape(-1), -inf, inf)
             lf = (lr > -inf).astype(dt)
             new_l = sp.scaling.E * lr
         if u is not None:
+            if np.any(np.isnan(np.asarray(u))):
+                raise ValueError("bounds must not contain NaN")
             ur = jnp.clip(jnp.asarray(u, dt).reshape(-1), -inf, inf)
             uf = (ur < inf).astype(dt)
             new_u = sp.scaling.E * ur

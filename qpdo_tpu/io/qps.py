@@ -36,6 +36,14 @@ class QPSData:
     n_structural: int      # constraint rows before appended bound rows
 
 
+def _is_number(tok: str) -> bool:
+    try:
+        float(tok)
+        return True
+    except ValueError:
+        return False
+
+
 def _open(path_or_file) -> TextIO:
     if hasattr(path_or_file, "read"):
         return path_or_file
@@ -102,6 +110,8 @@ def read_qps(path_or_file, dense: bool = True) -> QPSData:
                 row_index[rname] = len(row_order)
                 row_order.append(rname)
         elif section == "COLUMNS":
+            if "'MARKER'" in parts:
+                continue  # integer-section markers (INTORG/INTEND) ignored
             cname = parts[0]
             j = col_id(cname)
             for rname, val in zip(parts[1::2], parts[2::2]):
@@ -126,7 +136,11 @@ def read_qps(path_or_file, dense: bool = True) -> QPSData:
         elif section == "BOUNDS":
             btype = parts[0].upper()
             if btype in ("FR", "MI", "PL", "BV"):
-                j = col_id(parts[-1])
+                # the variable is the last NON-numeric token: these bound
+                # types may carry an ignored trailing value (" MI BND X1 0.0")
+                var = next((t for t in reversed(parts[1:])
+                            if not _is_number(t)), parts[-1])
+                j = col_id(var)
                 if btype == "FR":
                     lb[j] = -np.inf
                     ub[j] = np.inf

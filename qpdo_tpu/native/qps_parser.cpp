@@ -139,7 +139,12 @@ void parse_impl(const char* text, long len, Parsed& out) {
         }
       }
     } else if (section == "COLUMNS") {
-      if (toks.size() >= 3) {
+      bool is_marker = false;
+      for (const auto& t : toks)
+        if (t == "'MARKER'") { is_marker = true; break; }
+      if (is_marker) {
+        // integer-section markers (INTORG/INTEND) are ignored
+      } else if (toks.size() >= 3) {
         long j = col_id(toks[0]);
         for (size_t k = 1; k + 1 < toks.size(); k += 2) {
           const std::string& rname = toks[k];
@@ -176,7 +181,19 @@ void parse_impl(const char* text, long len, Parsed& out) {
         std::string btype = upper(toks[0]);
         if (btype == "FR" || btype == "MI" || btype == "PL" || btype == "BV") {
           if (toks.size() >= 2) {
-            long j = col_id(toks.back());
+            // the variable is the last NON-numeric token: these bound types
+            // may carry an ignored trailing value (" MI BND X1 0.0")
+            size_t vi = toks.size() - 1;
+            for (size_t t = toks.size() - 1; t >= 1; t--) {
+              char* endp = nullptr;
+              std::strtod(toks[t].c_str(), &endp);
+              if (endp == nullptr || *endp != '\0' || endp == toks[t].c_str()) {
+                vi = t;
+                break;
+              }
+              if (t == 1) break;
+            }
+            long j = col_id(toks[vi]);
             if (btype == "FR") { xl[j] = -kInf; xu[j] = kInf; xl_set[j] = xu_set[j] = 1; }
             else if (btype == "MI") { xl[j] = -kInf; xl_set[j] = 1; }
             else if (btype == "PL") { xu[j] = kInf; xu_set[j] = 1; }

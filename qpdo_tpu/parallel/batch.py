@@ -78,10 +78,22 @@ def _solve_batch_compact(problems: Problem, settings: Settings, x0, y0,
         def active_of(st):
             return (st.status == _c.UNSOLVED) & (st.iter < iter_cap)
 
-        # full-batch phase while enough problems are active
+        # full-batch phase while enough problems are active; problems at
+        # the iteration cap must be frozen explicitly (core.step only
+        # freezes status-latched ones) or per-problem iteration counts
+        # diverge from the non-compact path when hybrid warmup leaves the
+        # batch with skewed iter counters
+        def body1(st):
+            act = active_of(st)
+            new = step_v(sp_b, st)
+            return jax.tree.map(
+                lambda a, b: jnp.where(
+                    act.reshape(act.shape + (1,) * (a.ndim - 1)), a, b),
+                new, st)
+
         def cond1(st):
             return jnp.sum(active_of(st)) > K
-        st = jax.lax.while_loop(cond1, lambda st: step_v(sp_b, st), state)
+        st = jax.lax.while_loop(cond1, body1, state)
 
         # compaction rounds: gather <=K stragglers, run them to completion
         run_v = jax.vmap(

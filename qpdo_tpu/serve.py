@@ -82,12 +82,22 @@ class SolverService:
 
     # -- worker ------------------------------------------------------------
 
-    def _collect(self) -> Sequence[_Request]:
+    def _collect(self) -> Tuple[Sequence[_Request], bool]:
         """Block for one request, then drain up to max_batch within the
-        micro-batching window."""
+        micro-batching window.  Returns (batch, stop).  On the stop
+        sentinel, any requests that raced past the shutdown check are
+        drained and served first so no Future is stranded behind it."""
         first = self._queue.get()
         if first is None:
-            return ()
+            stragglers = []
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if req is not None:
+                    stragglers.append(req)
+            return stragglers, True
         batch = [first]
         import time
         deadline = time.perf_counter() + self._max_wait
@@ -103,32 +113,35 @@ class SolverService:
                 self._queue.put(None)  # keep the stop signal for later
                 break
             batch.append(req)
-        return batch
+        return batch, False
 
     def _run(self) -> None:
         while True:
-            batch = self._collect()
-            if not batch:
+            batch, stop = self._collect()
+            if batch:
+                try:
+                    self._dispatch(batch)
+                except Exception as e:  # pragma: no cover - defensive
+                    for req in batch:
+                        if not req.future.done():
+                            req.future.set_exception(e)
+            if stop:
                 return
-            try:
-                self._dispatch(batch)
-            except Exception as e:  # pragma: no cover - defensive
-                for req in batch:
-                    if not req.future.done():
-                        req.future.set_exception(e)
 
     def _dispatch(self, batch: Sequence[_Request]) -> None:
         import jax.numpy as jnp
 
-        # group by (padded shape, warm-ness): init paths differ statically
+        # group by (padded shape, dtype, warm-ness): init paths differ
+        # statically, and stacking mixed dtypes would silently promote
         groups = {}
         for req in batch:
             key = (_round_up(req.shape[0], self._n_mult),
                    _round_up(req.shape[1], self._m_mult),
+                   str(req.problem.Q.dtype),
                    req.x0 is not None, req.y0 is not None)
             groups.setdefault(key, []).append(req)
 
-        for (n_pad, m_pad, warm_x, warm_y), reqs in groups.items():
+        for (n_pad, m_pad, _dt, warm_x, warm_y), reqs in groups.items():
             padded = [pad_problem(r.problem, n_pad, m_pad) for r in reqs]
             problems = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
             x0 = y0 = None

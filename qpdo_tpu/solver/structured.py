@@ -123,7 +123,11 @@ def _arrow_newton_solve(p, active, mu, sigma, r0, rs, proximal, refine):
     rhs0 = r0 - jnp.sum(Sr, axis=0)
     dx0 = cholesky_solve(S0, rhs0, refine)
     dxs = Kinvr - jnp.einsum("sij,j->si", KinvB, dx0)
-    return dx0, dxs
+    # factorization-failure guard, mirroring the dense path
+    # (ops/linalg.py): a NaN direction must not poison the state
+    finite = jnp.all(jnp.isfinite(dx0)) & jnp.all(jnp.isfinite(dxs))
+    return (jnp.where(finite, dx0, jnp.zeros_like(dx0)),
+            jnp.where(finite, dxs, jnp.zeros_like(dxs)))
 
 
 def init_structured(p: BlockAngularProblem, settings: Settings,

@@ -61,7 +61,10 @@ class Settings:
     """Solver settings (reference: QPDOSettings, include/types.h:96-116).
 
     Fully static/hashable: pass to jitted entry points as a static argument.
-    Defaults mirror include/constants.h:44-69 exactly.
+    Defaults mirror include/constants.h:44-69, with one deliberate
+    deviation: ``verbose`` defaults to False (the reference defaults to
+    TRUE, constants.h:65 — sensible for an interactive MATLAB tool, not
+    for a library embedded in jitted pipelines).
     """
 
     max_time: float = _c.MAX_TIME

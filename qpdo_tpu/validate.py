@@ -28,6 +28,8 @@ def validate_data(problem: Problem) -> None:
         raise ValueError(f"l/u must have length m={m}, got {l.shape}/{u.shape}")
     ln = np.asarray(l)
     un = np.asarray(u)
+    if np.any(np.isnan(ln)) or np.any(np.isnan(un)):
+        raise ValueError("bounds must not contain NaN")
     if np.any(ln > un):
         j = int(np.argmax(ln > un))
         raise ValueError(

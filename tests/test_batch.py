@@ -106,3 +106,34 @@ def test_batch_sharded_over_mesh():
     res_local = solve_batch(problems)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_local.x),
                                atol=1e-8)
+
+
+def test_batch_compact_iter_cap_with_skew():
+    """Regression: with hybrid warmup the batch enters phase 2 with skewed
+    per-problem iter counters; the compact full-batch phase must freeze
+    iter-capped problems explicitly or they step past max_iter."""
+    probs = _batch_problems(6, 20, 15, seed0=500)
+    # make one problem unsolvable-but-undetectable (primal infeasible with
+    # detection disabled): it must stop exactly at max_iter
+    Q = np.zeros((20, 20)); Q[0, 0] = 1.0
+    A = np.zeros((15, 20)); A[0, 0] = 1.0; A[1, 0] = 1.0
+    l = np.full(15, -qt.QPDO_INFTY); u = np.full(15, qt.QPDO_INFTY)
+    l[0], u[0] = 1.0, 2.0    # x0 in [1,2]
+    l[1], u[1] = 5.0, 6.0    # and x0 in [5,6]: infeasible
+    q = np.zeros(20)
+    probs = jax.tree.map(
+        lambda batch, one: batch.at[0].set(jnp.asarray(one)),
+        probs, qt.Problem(Q=Q, q=q, A=A, l=l, u=u, c=np.zeros(())))
+    s = qt.Settings(max_iter=60, inner_max_iter=10, hybrid_warmup=True,
+                    kkt_dtype="float32", refine_steps=1, mu_min=1e-7,
+                    eps_prim_inf=0.0, eps_dual_inf=0.0)
+    r1 = solve_batch(probs, s)
+    r2 = solve_batch(probs, s, compact=True)
+    assert int(np.asarray(r1.info.iterations).max()) <= 60
+    assert int(np.asarray(r2.info.iterations).max()) <= 60
+    np.testing.assert_array_equal(np.asarray(r1.info.iterations),
+                                  np.asarray(r2.info.iterations))
+    np.testing.assert_array_equal(np.asarray(r1.info.status_val),
+                                  np.asarray(r2.info.status_val))
+    np.testing.assert_array_equal(np.nan_to_num(np.asarray(r1.x)),
+                                  np.nan_to_num(np.asarray(r2.x)))

@@ -101,3 +101,27 @@ def test_native_faster_on_big_file():
     t_nat = time.perf_counter() - t0
     np.testing.assert_allclose(nat.A, ref.A)
     assert t_nat < t_py  # typically 10-100x
+
+
+def test_native_marker_and_trailing_bound_parity():
+    from test_qps import read_qps as _read
+    qps = """NAME MB
+ROWS
+ N obj
+ L r1
+COLUMNS
+    MARKERA   'MARKER'  'INTORG'
+ x1 r1 1.0 obj -1.0
+    MARKERB   'MARKER'  'INTEND'
+ x2 r1 2.0
+RHS
+ rhs r1 4.0
+BOUNDS
+ MI bnd x1 0.0
+ UP bnd x2 3.0
+QUADOBJ
+ x1 x1 2.0
+ x2 x2 2.0
+ENDATA
+"""
+    _parity(qps)

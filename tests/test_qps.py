@@ -141,3 +141,50 @@ ENDATA
     fx_row = d.A[1]
     np.testing.assert_array_equal(fx_row, [0, 1, 0])
     assert d.l[1] == d.u[1] == 0.5
+
+
+def test_marker_lines_ignored():
+    qps = """NAME M
+ROWS
+ N obj
+ G r1
+COLUMNS
+    MARKER1   'MARKER'  'INTORG'
+    x1        r1        1.0   obj  1.0
+    MARKER2   'MARKER'  'INTEND'
+RHS
+ rhs r1 1.0
+QUADOBJ
+ x1 x1 2.0
+ENDATA
+"""
+    d = read_qps(io.StringIO(qps))
+    assert d.Q.shape == (1, 1)
+    assert d.q[0] == 1.0
+
+
+def test_bound_type_with_trailing_value():
+    """MPS files commonly write ' MI BND X1 0.0' — the value is ignored and
+    must not create a phantom variable named '0.0'."""
+    qps = """NAME B2
+ROWS
+ N obj
+ G r1
+COLUMNS
+ x1 r1 1.0 obj 1.0
+ x2 r1 1.0
+RHS
+ rhs r1 1.0
+BOUNDS
+ MI bnd x1 0.0
+ FR bnd x2 1.5
+QUADOBJ
+ x1 x1 2.0
+ x2 x2 2.0
+ENDATA
+"""
+    d = read_qps(io.StringIO(qps))
+    assert d.Q.shape == (2, 2)  # no phantom third variable
+    # x1: lower -inf (MI), upper +inf default -> no bound row
+    # x2: free -> no bound row
+    assert d.A.shape[0] == 1

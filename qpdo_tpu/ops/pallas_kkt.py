@@ -34,7 +34,12 @@ def _kkt_kernel(Qs_ref, A_ref, w_ref, rhs_ref, dx_ref, K_ref):
     """Fused KKT solve for one problem; all refs in VMEM.
 
     Block shapes: Qs (1,n,n), A (1,m,n), w (1,1,m), rhs (1,1,n),
-    dx out (1,1,n), K scratch (n,n)."""
+    dx out (1,1,n), K scratch (n,n).
+
+    Everything is ROW-oriented: Mosaic only allows dynamic slicing on the
+    sublane (first) dimension, so the factorization computes the upper
+    factor R = L' row by row (K is symmetric, so row j of K is column j),
+    and both substitutions access R by rows only."""
     n = K_ref.shape[0]
     f32 = jnp.float32
 
@@ -52,47 +57,47 @@ def _kkt_kernel(Qs_ref, A_ref, w_ref, rhs_ref, dx_ref, K_ref):
     K_ref[:] = (K * dinv[:, None] * dinv[None, :]
                 + _static_reg(f32) * eye)
 
-    # ---- in-place right-looking Cholesky ----
-    rows1 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    rowv = rows1[:, 0]                                         # (n,)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)      # (1, n)
 
+    # ---- in-place right-looking Cholesky: upper factor R, row at a time --
     def chol_body(j, carry):
-        colj = K_ref[:, pl.ds(j, 1)]                           # (n, 1)
-        dj = jnp.sum(jnp.where(rows1 == j, colj, 0.0))
+        rowj = K_ref[pl.ds(j, 1), :]                           # (1, n)
+        dj = jnp.sum(jnp.where(lane == j, rowj, 0.0))
         inv_sqrt = jax.lax.rsqrt(jnp.maximum(dj, 1e-30))
-        Lcol = jnp.where(rows1 >= j, colj * inv_sqrt, 0.0)
-        K_ref[:, pl.ds(j, 1)] = Lcol
-        # trailing update: K[j+1:, j+1:] -= Lcol[j+1:] Lcol[j+1:]'
-        tail = jnp.where(rows1 > j, Lcol, 0.0)                 # (n, 1)
-        upd = tail * tail[:, 0][None, :]                       # (n, n)
-        K_ref[:] = K_ref[:] - jnp.where(col > j, upd, 0.0)
+        Rrow = jnp.where(lane >= j, rowj * inv_sqrt, 0.0)      # (1, n)
+        K_ref[pl.ds(j, 1), :] = Rrow
+        # trailing update: K[j+1:, j+1:] -= Rrow' Rrow (rows/cols > j)
+        tail = jnp.where(lane > j, Rrow, 0.0)                  # (1, n)
+        upd = tail[0, :][:, None] * tail                       # (n, n)
+        K_ref[:] = K_ref[:] - jnp.where(row > j, upd, 0.0)
         return carry
 
     jax.lax.fori_loop(0, n, chol_body, 0)
 
-    # ---- z = L^-1 (dinv * rhs) ----
-    b = rhs_ref[0, 0, :] * dinv                                # (n,)
+    # ---- forward: R' z = dinv*rhs  (row-oriented: eliminate with row j) --
+    b = rhs_ref[0, 0, :].reshape(1, n) * dinv[None, :]         # (1, n)
 
-    def fwd_body(j, z):
-        colj = K_ref[:, pl.ds(j, 1)][:, 0]                     # L[:, j]
-        diagj = jnp.sum(jnp.where(rowv == j, colj, 0.0))
-        zj = jnp.sum(jnp.where(rowv == j, z, 0.0)) / diagj
-        return jnp.where(rowv == j, zj,
-                         z - zj * jnp.where(rowv > j, colj, 0.0))
+    def fwd_body(j, b_):
+        rowj = K_ref[pl.ds(j, 1), :]                           # R[j, :]
+        diagj = jnp.sum(jnp.where(lane == j, rowj, 0.0))
+        zj = jnp.sum(jnp.where(lane == j, b_, 0.0)) / diagj
+        # store z_j in slot j; subtract z_j * R[j, k] from future slots k>j
+        return jnp.where(lane == j, zj,
+                         b_ - zj * jnp.where(lane > j, rowj, 0.0))
 
-    z = jax.lax.fori_loop(0, n, fwd_body, b)
+    z = jax.lax.fori_loop(0, n, fwd_body, b)                   # (1, n)
 
-    # ---- x = L^-T z (reverse order; L'[j, i>j] = L[i, j] = column j) ----
+    # ---- backward: R x = z ----
     def bwd_body(k, x):
         j = n - 1 - k
-        colj = K_ref[:, pl.ds(j, 1)][:, 0]
-        diagj = jnp.sum(jnp.where(rowv == j, colj, 0.0))
-        dotv = jnp.sum(jnp.where(rowv > j, colj * x, 0.0))
-        xj = (jnp.sum(jnp.where(rowv == j, x, 0.0)) - dotv) / diagj
-        return jnp.where(rowv == j, xj, x)
+        rowj = K_ref[pl.ds(j, 1), :]
+        diagj = jnp.sum(jnp.where(lane == j, rowj, 0.0))
+        dotv = jnp.sum(jnp.where(lane > j, rowj * x, 0.0))
+        xj = (jnp.sum(jnp.where(lane == j, z, 0.0)) - dotv) / diagj
+        return jnp.where(lane == j, xj, x)
 
-    x = jax.lax.fori_loop(0, n, bwd_body, z)
-    dx_ref[0, 0, :] = x * dinv
+    x = jax.lax.fori_loop(0, n, bwd_body, z)                   # (1, n)
+    dx_ref[0, 0, :] = (x * dinv[None, :])[0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -180,14 +180,56 @@ def bench_structured():
             "scenarios": S, "solve_time_s": round(dt, 3)}
 
 
+def generate_suite(out_dir: str, count: int = 12, seed: int = 0) -> None:
+    """Generate a local Maros-Mészáros-style QPS suite: random convex QPs of
+    assorted sizes, conditioning, sparsity and bound structure, written in
+    QPS format (exercises the full ingest pipeline)."""
+    import qpdo_tpu as qt
+    from qpdo_tpu.io import write_qps
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    for k in range(count):
+        n = int(rng.integers(20, 150))
+        m = int(rng.integers(10, 2 * n))
+        density = float(rng.choice([0.1, 0.3, 1.0]))
+        rank = n if rng.random() < 0.5 else max(1, n // 2)
+        M = rng.standard_normal((n, rank))
+        Q = M @ M.T / n + (0.1 if rank == n else 0.0) * np.eye(n)
+        A = rng.standard_normal((m, n)) * (rng.random((m, n)) < density)
+        l = -rng.random(m) - 0.1
+        u = rng.random(m) + 0.1
+        eq = rng.random(m) < 0.2
+        l[eq] = u[eq] = rng.standard_normal(eq.sum()) * 0.1
+        onesided = rng.random(m) < 0.2
+        u[onesided & (rng.random(m) < 0.5)] = np.inf
+        l[onesided & ~(rng.random(m) < 0.5)] = -np.inf
+        l2 = np.minimum(l, u)
+        u2 = np.maximum(l, u)
+        if rank < n:  # keep rank-deficient instances bounded
+            A = np.vstack([A, np.eye(n)])
+            l2 = np.concatenate([l2, -3 * np.ones(n)])
+            u2 = np.concatenate([u2, 3 * np.ones(n)])
+        p = qt.make_problem(Q, rng.standard_normal(n), A, l2, u2)
+        write_qps(p, os.path.join(out_dir, f"gen{k:03d}.qps"),
+                  name=f"GEN{k:03d}")
+
+
 def bench_maros():
-    """Config 4: Maros-Mészáros subset from QPDO_MM_DIR (skipped if unset)."""
+    """Config 4: Maros-Mészáros subset from QPDO_MM_DIR; falls back to a
+    generated local QPS suite when the env var is unset (no network in this
+    environment — real MM files drop in via QPDO_MM_DIR)."""
     import qpdo_tpu as qt
     from qpdo_tpu.io import read_qps, to_problem
 
+    generated = False
     mm_dir = os.environ.get("QPDO_MM_DIR")
     if not mm_dir or not os.path.isdir(mm_dir):
-        return {"config": "maros", "skipped": "QPDO_MM_DIR not set"}
+        mm_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "generated_suite")
+        if not os.path.isdir(mm_dir):
+            generate_suite(mm_dir)
+        generated = True
     try:
         from qpdo_tpu.native import read_qps_native as reader
     except Exception:
@@ -214,7 +256,8 @@ def bench_maros():
             solved += 1
     return {"config": "maros", "attempted": attempted, "solved": solved,
             "solve_rate": solved / max(attempted, 1),
-            "total_time_s": round(t_total, 1)}
+            "total_time_s": round(t_total, 1),
+            "generated_suite": generated}
 
 
 CONFIGS = {"demo": bench_demo, "infeasibility": bench_infeasibility,

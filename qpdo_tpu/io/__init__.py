@@ -1,1 +1,1 @@
-from .qps import QPSData, read_qps, to_problem
+from .qps import QPSData, read_qps, to_problem, write_qps

@@ -245,3 +245,86 @@ def to_problem(data: QPSData, dtype=None):
     from ..api import make_problem
     return make_problem(data.Q, data.q, data.A, data.l, data.u, data.c,
                         dtype=dtype)
+
+
+def write_qps(data_or_problem, path_or_file=None, name: str = "QP") -> str:
+    """Write a QP in QPS format (inverse of ``read_qps``).
+
+    Accepts a ``QPSData`` or a solver ``Problem``.  Two-sided rows emit an
+    L row plus a RANGES entry; one-sided rows emit L/G; equalities emit E.
+    Variables are written as free (the solver's canonical form keeps all
+    variable bounds as rows of A).  Returns the text; writes to
+    ``path_or_file`` when given."""
+    import numpy as _np
+
+    if hasattr(data_or_problem, "n_structural"):
+        Q = _np.asarray(data_or_problem.Q)
+        qv = _np.asarray(data_or_problem.q)
+        A = _np.asarray(data_or_problem.A)
+        l = _np.asarray(data_or_problem.l)
+        u = _np.asarray(data_or_problem.u)
+        c = float(data_or_problem.c)
+        name = data_or_problem.name or name
+    else:
+        Q = _np.asarray(data_or_problem.Q)
+        qv = _np.asarray(data_or_problem.q)
+        A = _np.asarray(data_or_problem.A)
+        l = _np.asarray(data_or_problem.l)
+        u = _np.asarray(data_or_problem.u)
+        c = float(_np.asarray(data_or_problem.c))
+
+    big = 1e19  # treat anything beyond as infinite
+    n = Q.shape[0]
+    m = A.shape[0]
+    lines = [f"NAME          {name}", "ROWS", " N  obj"]
+    senses = []
+    for i in range(m):
+        lo, hi = l[i], u[i]
+        if lo == hi:
+            s = "E"
+        elif hi < big:
+            s = "L"
+        elif lo > -big:
+            s = "G"
+        else:
+            s = None  # unconstrained row: skip
+        senses.append(s)
+        if s:
+            lines.append(f" {s}  r{i}")
+    lines.append("COLUMNS")
+    for j in range(n):
+        if qv[j] != 0.0:
+            lines.append(f"    x{j}  obj  {float(qv[j])!r}")
+        for i in range(m):
+            if senses[i] and A[i, j] != 0.0:
+                lines.append(f"    x{j}  r{i}  {float(A[i, j])!r}")
+    lines.append("RHS")
+    if c != 0.0:
+        lines.append(f"    rhs  obj  {float(-c)!r}")
+    for i in range(m):
+        s = senses[i]
+        if s == "E" or s == "G":
+            lines.append(f"    rhs  r{i}  {float(l[i])!r}")
+        elif s == "L":
+            lines.append(f"    rhs  r{i}  {float(u[i])!r}")
+    lines.append("RANGES")
+    for i in range(m):
+        if senses[i] == "L" and l[i] > -big:
+            lines.append(f"    rng  r{i}  {float(u[i] - l[i])!r}")
+    lines.append("BOUNDS")
+    for j in range(n):
+        lines.append(f" FR bnd  x{j}")
+    lines.append("QUADOBJ")
+    for i in range(n):
+        for j in range(i, n):
+            if Q[i, j] != 0.0:
+                lines.append(f"    x{i}  x{j}  {float(Q[i, j])!r}")
+    lines.append("ENDATA")
+    text = "\n".join(lines) + "\n"
+    if path_or_file is not None:
+        if hasattr(path_or_file, "write"):
+            path_or_file.write(text)
+        else:
+            with open(path_or_file, "w") as fh:
+                fh.write(text)
+    return text

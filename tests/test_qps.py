@@ -188,3 +188,34 @@ ENDATA
     # x1: lower -inf (MI), upper +inf default -> no bound row
     # x2: free -> no bound row
     assert d.A.shape[0] == 1
+
+
+def test_write_read_roundtrip():
+    """write_qps -> read_qps reproduces the problem (all row senses)."""
+    from qpdo_tpu.io import write_qps
+    import qpdo_tpu as qt
+    rng = np.random.default_rng(3)
+    n, m = 6, 8
+    M = rng.standard_normal((n, n))
+    Q = M @ M.T / n
+    q = rng.standard_normal(n)
+    A = np.round(rng.standard_normal((m, n)), 4)
+    l = np.array([-1.0, 0.5, -np.inf, -2.0, -np.inf, 1.0, -3.0, 0.0])
+    u = np.array([1.0, 0.5, 4.0, np.inf, np.inf, 1.0, 2.0, 0.1])
+    p = qt.make_problem(np.round(Q, 4), np.round(q, 4), A, l, u, c=1.25)
+    text = write_qps(p, name="RT")
+    d = read_qps(io.StringIO(text))
+    np.testing.assert_allclose(d.Q, np.asarray(p.Q))
+    np.testing.assert_allclose(d.q, np.asarray(p.q))
+    # the fully-unconstrained row 4 (-inf, inf) is dropped by the writer
+    keep = [0, 1, 2, 3, 5, 6, 7]
+    np.testing.assert_allclose(d.A, np.asarray(p.A)[keep])
+    lc = np.clip(l[keep], -qt.QPDO_INFTY, qt.QPDO_INFTY)
+    uc = np.clip(u[keep], -qt.QPDO_INFTY, qt.QPDO_INFTY)
+    np.testing.assert_allclose(np.clip(d.l, -qt.QPDO_INFTY, qt.QPDO_INFTY), lc)
+    np.testing.assert_allclose(np.clip(d.u, -qt.QPDO_INFTY, qt.QPDO_INFTY), uc)
+    assert d.c == 1.25
+    # and it solves identically
+    r1 = qt.solve(p)
+    r2 = qt.solve(qt.make_problem(d.Q, d.q, d.A, d.l, d.u, d.c))
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), atol=1e-9)

@@ -166,3 +166,15 @@ def test_large_problem():
     assert int(res.info.status_val) == qt.SOLVED
     rp, rd = kkt_residuals(Q, q, A, l, u, res.x, res.y)
     assert rp <= EPS and rd <= EPS
+
+
+def test_warm_start_y_only():
+    """qpdo_warm_start accepts NULL x with y given (qpdo.c:237-286)."""
+    Q, q, A, l, u = random_qp(20, 15, seed=60)
+    cold = _solve(Q, q, A, l, u)
+    res = _solve(Q, q, A, l, u, y0=cold.y)
+    assert int(res.info.status_val) == qt.SOLVED
+    rp, rd = kkt_residuals(Q, q, A, l, u, res.x, res.y)
+    assert rp <= EPS and rd <= EPS
+    res2 = _solve(Q, q, A, l, u, x0=cold.x)   # and x-only
+    assert int(res2.info.status_val) == qt.SOLVED

@@ -36,12 +36,23 @@ def make_problem(Q, q, A, l, u, c=0.0, dtype=None) -> Problem:
     Q = jnp.asarray(Q, dtype)
     dt = Q.dtype
     inf = _c.QPDO_INFTY
+    n = Q.shape[-1]
+    A = jnp.asarray(A, dt).reshape(-1, n)
+    l = jnp.clip(jnp.asarray(l, dt).reshape(-1), -inf, inf)
+    u = jnp.clip(jnp.asarray(u, dt).reshape(-1), -inf, inf)
+    if A.shape[0] == 0:
+        # unconstrained QP: synthesize one inert free row (the MATLAB
+        # wrapper's empty-input defaults, interfaces/mex/qpdo.m:60-133;
+        # the core assumes m >= 1)
+        A = jnp.zeros((1, n), dt)
+        l = jnp.full((1,), -inf, dt)
+        u = jnp.full((1,), inf, dt)
     return Problem(
         Q=Q,
         q=jnp.asarray(q, dt).reshape(-1),
-        A=jnp.asarray(A, dt).reshape(-1, Q.shape[-1]),
-        l=jnp.clip(jnp.asarray(l, dt).reshape(-1), -inf, inf),
-        u=jnp.clip(jnp.asarray(u, dt).reshape(-1), -inf, inf),
+        A=A,
+        l=l,
+        u=u,
         c=jnp.asarray(c, dt),
     )
 

@@ -105,3 +105,18 @@ def test_constants():
     assert qt.QPDO.constant("QPDO_SOLVED") == 1
     with pytest.raises(ValueError):
         qt.QPDO.constant("nope")
+
+
+def test_unconstrained_qp_empty_A():
+    """Empty A (m=0): the MATLAB wrapper's empty-input default
+    (interfaces/mex/qpdo.m); solution is -Q^-1 q."""
+    rng = np.random.default_rng(70)
+    n = 10
+    M = rng.standard_normal((n, n))
+    Q = M @ M.T / n + 0.5 * np.eye(n)
+    q = rng.standard_normal(n)
+    p = qt.make_problem(Q, q, np.zeros((0, n)), np.zeros(0), np.zeros(0))
+    res = qt.solve(p)
+    assert int(res.info.status_val) == qt.SOLVED
+    np.testing.assert_allclose(np.asarray(res.x),
+                               -np.linalg.solve(Q, q), atol=1e-5)

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 
-def exact_linesearch(dx, dy, Qdx, Adx, df, y, w, mu, l, u):
+def exact_linesearch(dx, dy, Qdx, Adx, df, y, w, mu, l, u,
+                     method: str = "sort"):
     """Return the exact stepsize tau minimizing the merit along (dx, dy).
 
     Arguments are the scaled-space quantities of the current Newton step;
@@ -48,6 +49,8 @@ def exact_linesearch(dx, dy, Qdx, Adx, df, y, w, mu, l, u):
     d_half = (Adx - mu_dy_half) * rsqrt_mu          # c0 ./ sqrt(mu)
     delta = jnp.concatenate([-d_half, d_half])
     alpha = jnp.concatenate([(w - l) * rsqrt_mu, (u - w) * rsqrt_mu])
+    if method == "bisect":
+        return pwa_root_bisect(eta, beta, delta, alpha)
     return pwa_root(eta, beta, delta, alpha)
 
 
@@ -102,3 +105,53 @@ def pwa_root(eta, beta, delta, alpha):
     # a_star > 0 for a descent direction; guard the degenerate dx=dy=0 case
     # (only reachable at exact optimality, where the outer check fires first).
     return jnp.where(a_star != 0, -b_star / jnp.where(a_star != 0, a_star, 1.0), 1.0)
+
+
+def pwa_root_bisect(eta, beta, delta, alpha, iters: int = 48):
+    """Sort-free exact root of eta*tau + beta + delta'[delta*tau - alpha]_+.
+
+    Safeguarded segment iteration: each step evaluates the derivative's
+    affine coefficients at the current point by two masked reductions and
+    proposes that segment's root, falling back to bisection when the
+    proposal leaves the bracket.  The iteration is exact once the bracket
+    lies within the root's segment.  Same result as ``pwa_root`` (to fp
+    roundoff) without the 2m-element sort — the right form when the hinge
+    terms are sharded over devices (each reduction becomes one psum) or
+    when XLA's sort is the bottleneck.
+    """
+    dt = delta.dtype
+    one = jnp.asarray(1.0, dt)
+
+    def coeffs(t):
+        act = delta * t - alpha > 0
+        a = eta + jnp.sum(jnp.where(act, delta * delta, 0.0))
+        b = beta - jnp.sum(jnp.where(act, delta * alpha, 0.0))
+        return a, b
+
+    def phi(t):
+        return eta * t + beta + jnp.sum(
+            delta * jnp.maximum(delta * t - alpha, 0.0))
+
+    # grow an upper bracket: phi is increasing with slope >= eta > 0
+    def grow(_, hi):
+        return jnp.where(phi(hi) < 0, hi * 4.0, hi)
+
+    hi0 = jax.lax.fori_loop(0, 40, grow, one)
+    lo0 = jnp.asarray(0.0, dt)
+
+    def body(_, carry):
+        lo, hi, t = carry
+        a, b = coeffs(t)
+        cand = -b / jnp.where(a != 0, a, one)
+        t_new = jnp.where((cand > lo) & (cand < hi), cand, 0.5 * (lo + hi))
+        ph = phi(t_new)
+        lo_new = jnp.where(ph < 0, t_new, lo)
+        hi_new = jnp.where(ph >= 0, t_new, hi)
+        return lo_new, hi_new, t_new
+
+    _, _, t = jax.lax.fori_loop(0, iters, body, (lo0, hi0, 0.5 * hi0))
+    a, b = coeffs(t)
+    cand = -b / jnp.where(a != 0, a, one)
+    # final polish: the segment root at the converged point (may be <= 0,
+    # matching the sorted scan's semantics at degenerate points)
+    return jnp.where(jnp.isfinite(cand), cand, t)

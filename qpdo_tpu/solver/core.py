@@ -214,7 +214,8 @@ def step(sp: ScaledProblem, settings: Settings, s: SolverState) -> SolverState:
         Atdy, Atdy_c_raw = AtV[:, 0], AtV[:, 1]
     else:
         Atdy = d.A.T @ dy
-    tau = exact_linesearch(dx, dy, Qdx, Adx, df, s.y, w, s.mu, d.l, d.u)
+    tau = exact_linesearch(dx, dy, Qdx, Adx, df, s.y, w, s.mu, d.l, d.u,
+                           settings.linesearch)
     # iterate + cache updates (iteration.c:19-24); Qx cache is pure Q@x here
     x_nwt = s.x + tau * dx
     y_nwt = s.y + tau * dy

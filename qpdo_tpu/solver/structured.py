@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from .. import constants as _c
 from ..ops.linalg import cholesky_solve
-from ..ops.linesearch import pwa_root
+from ..ops.linesearch import pwa_root, pwa_root_bisect
 from ..types import Info, Settings
 
 
@@ -237,7 +237,10 @@ def step_structured(p: BlockAngularProblem, settings: Settings,
     delta = jnp.concatenate([-d_half, d_half])
     alpha = jnp.concatenate([((w - p.l) * rsq).ravel(),
                              ((p.u - w) * rsq).ravel()])
-    tau = pwa_root(eta, beta, delta, alpha)
+    if settings.linesearch == "bisect":
+        tau = pwa_root_bisect(eta, beta, delta, alpha)
+    else:
+        tau = pwa_root(eta, beta, delta, alpha)
 
     x0_n = s.x0 + tau * dx0
     xs_n = s.xs + tau * dxs

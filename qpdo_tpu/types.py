@@ -116,6 +116,11 @@ class Settings:
     # reference warm-start semantics.
     warm_mu_adapt: bool = True
     warm_mu_scale_min: float = 1e-2
+    # Exact-linesearch root finder: "sort" (sorted breakpoint scan,
+    # linesearch.c parity) or "bisect" (sort-free safeguarded segment
+    # iteration — identical results, avoids the 2m-element sort; the right
+    # choice when constraint rows are sharded over devices).
+    linesearch: str = "sort"
     # Matmul precision for the float32 warmup phase only (it targets
     # warmup_eps ~ 1e-3, so "tensorfloat32" 3-pass arithmetic can be a
     # faster choice than "highest" on TPU).

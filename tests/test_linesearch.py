@@ -95,3 +95,33 @@ def test_root_beyond_all_breakpoints():
     tau = float(pwa_root(jnp.asarray(eta), jnp.asarray(beta),
                          jnp.asarray(delta), jnp.asarray(alpha)))
     assert abs(phi(tau, eta, beta, delta, alpha)) < 1e-9
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_bisect_matches_sort(seed):
+    """The sort-free root finder agrees with the sorted scan."""
+    from qpdo_tpu.ops.linesearch import pwa_root_bisect
+    rng = np.random.default_rng(100 + seed)
+    m2 = 60
+    eta = float(rng.random() + 0.1)
+    delta = rng.standard_normal(m2)
+    alpha = rng.standard_normal(m2)
+    phi0 = phi(0.0, eta, 0.0, delta, alpha)
+    beta = float(-phi0 - rng.random() * 3 - 0.1)
+    t_sort = float(pwa_root(jnp.asarray(eta), jnp.asarray(beta),
+                            jnp.asarray(delta), jnp.asarray(alpha)))
+    t_bis = float(pwa_root_bisect(jnp.asarray(eta), jnp.asarray(beta),
+                                  jnp.asarray(delta), jnp.asarray(alpha)))
+    assert abs(t_bis - t_sort) <= 1e-9 * max(1.0, abs(t_sort))
+    assert abs(phi(t_bis, eta, beta, delta, alpha)) < 1e-8
+
+
+def test_bisect_infinite_bound_breakpoints():
+    from qpdo_tpu.ops.linesearch import pwa_root_bisect
+    eta = 0.024304976779529953
+    beta = -0.04166319473377218
+    delta = np.array([0.26350118, 0.13175059, -0.26350118, -0.13175059])
+    alpha = np.array([3.16227766e+20, 0.0, 1.58113883e+01, 3.16227766e+20])
+    t = float(pwa_root_bisect(jnp.asarray(eta), jnp.asarray(beta),
+                              jnp.asarray(delta), jnp.asarray(alpha)))
+    assert abs(t - 1.0) < 1e-6

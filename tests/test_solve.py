@@ -178,3 +178,15 @@ def test_warm_start_y_only():
     assert rp <= EPS and rd <= EPS
     res2 = _solve(Q, q, A, l, u, x0=cold.x)   # and x-only
     assert int(res2.info.status_val) == qt.SOLVED
+
+
+def test_bisect_linesearch_solves_identically():
+    """linesearch='bisect' (sort-free) matches the sorted scan end-to-end."""
+    Q, q, A, l, u = random_qp(40, 30, seed=80)
+    r1 = _solve(Q, q, A, l, u)
+    r2 = _solve(Q, q, A, l, u, settings=qt.Settings(linesearch="bisect"))
+    assert int(r2.info.status_val) == qt.SOLVED
+    # tau agrees to roundoff, not bitwise: iteration counts may differ by
+    # an iteration or two, the solutions must agree to tolerance
+    assert abs(int(r2.info.iterations) - int(r1.info.iterations)) <= 3
+    np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x), atol=1e-6)

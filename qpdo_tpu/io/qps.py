@@ -176,12 +176,15 @@ def read_qps(path_or_file, dense: bool = True) -> QPSData:
     for entry in q_entries:
         i, j, v, is_qmatrix = entry
         if is_qmatrix:
-            # QMATRIX lists all entries of Q explicitly
-            Q[i, j] = v
+            # QMATRIX lists all entries of Q explicitly; duplicates
+            # accumulate (same semantics as the native parser and as
+            # COLUMNS entries)
+            Q[i, j] += v
         else:
             # QUADOBJ lists the lower (or upper) triangle of Q
-            Q[i, j] = v
-            Q[j, i] = v
+            Q[i, j] += v
+            if i != j:
+                Q[j, i] += v
 
     qvec = np.zeros(n)
     for j, v in q_lin.items():

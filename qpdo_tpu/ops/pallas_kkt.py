@@ -53,7 +53,11 @@ def _kkt_kernel(Qs_ref, A_ref, w_ref, rhs_ref, dx_ref, K_ref):
 
     # ---- Jacobi scale + static regularization ----
     diag = jnp.sum(K * eye, axis=1)                            # (n,)
-    dinv = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
+    # mirror the XLA path's semantics (ops/linalg.py jacobi_cholesky):
+    # leave non-positive diagonal rows unscaled instead of amplifying
+    # them by rsqrt(1e-30)
+    dinv = jnp.where(diag > 0.0,
+                     jax.lax.rsqrt(jnp.where(diag > 0.0, diag, 1.0)), 1.0)
     K_ref[:] = (K * dinv[:, None] * dinv[None, :]
                 + _static_reg(f32) * eye)
 

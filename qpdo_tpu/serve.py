@@ -47,26 +47,42 @@ class SolverService:
 
     def __init__(self, settings: Optional[Settings] = None,
                  max_batch: int = 64, max_wait_ms: float = 5.0,
-                 n_mult: int = 32, m_mult: int = 32):
+                 n_mult: int = 32, m_mult: int = 32,
+                 max_pending: int = 1024):
         self._settings = settings or Settings()
         self._max_batch = max_batch
         self._max_wait = max_wait_ms / 1000.0
         self._n_mult = n_mult
         self._m_mult = m_mult
-        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        # Bounded queue = backpressure: submit() blocks (or raises, see
+        # ``block``) once max_pending requests are in flight instead of
+        # letting an overload grow memory without bound.
+        self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_pending)
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
-        self._stopped = False
         self._worker.start()
 
     # -- client API --------------------------------------------------------
 
-    def submit(self, problem: Problem, x0=None, y0=None) -> Future:
-        """Enqueue a QP; returns a Future[Result]."""
-        if self._stopped:
-            raise RuntimeError("service is shut down")
+    def submit(self, problem: Problem, x0=None, y0=None, *,
+               block: bool = True,
+               timeout: Optional[float] = None) -> Future:
+        """Enqueue a QP; returns a Future[Result].
+
+        With ``block=False`` (or on ``timeout``), a full queue raises
+        ``queue.Full`` instead of waiting — callers can shed load."""
         fut: Future = Future()
-        self._queue.put(_Request(problem=problem, x0=x0, y0=y0, future=fut,
-                                 shape=(problem.n, problem.m)))
+        req = _Request(problem=problem, x0=x0, y0=y0, future=fut,
+                       shape=(problem.n, problem.m))
+        # The lock makes submit/shutdown atomic: once shutdown() has set
+        # the stop event (under this lock), no request can be enqueued
+        # afterwards, so the worker's final drain serves every admitted
+        # Future and none is stranded.
+        with self._lock:
+            if self._stop.is_set():
+                raise RuntimeError("service is shut down")
+            self._queue.put(req, block=block, timeout=timeout)
         return fut
 
     def solve(self, problem: Problem, x0=None, y0=None,
@@ -75,44 +91,46 @@ class SolverService:
         return self.submit(problem, x0, y0).result(timeout)
 
     def shutdown(self, wait: bool = True) -> None:
-        self._stopped = True
-        self._queue.put(None)
+        with self._lock:
+            self._stop.set()
         if wait:
             self._worker.join()
 
     # -- worker ------------------------------------------------------------
 
+    def _drain_nowait(self) -> list:
+        out = []
+        while True:
+            try:
+                out.append(self._queue.get_nowait())
+            except queue.Empty:
+                return out
+
     def _collect(self) -> Tuple[Sequence[_Request], bool]:
         """Block for one request, then drain up to max_batch within the
-        micro-batching window.  Returns (batch, stop).  On the stop
-        sentinel, any requests that raced past the shutdown check are
-        drained and served first so no Future is stranded behind it."""
-        first = self._queue.get()
-        if first is None:
-            stragglers = []
-            while True:
-                try:
-                    req = self._queue.get_nowait()
-                except queue.Empty:
-                    break
-                if req is not None:
-                    stragglers.append(req)
-            return stragglers, True
-        batch = [first]
+        micro-batching window.  Returns (batch, stop).  After shutdown,
+        anything still queued (admitted before the stop event) is drained
+        and served so no Future is stranded."""
         import time
+        while True:
+            try:
+                first = self._queue.get(timeout=0.05)
+                break
+            except queue.Empty:
+                if self._stop.is_set():
+                    # re-check the queue *after* seeing the stop event: a
+                    # submit that won the race enqueued before stop was set
+                    return self._drain_nowait(), True
+        batch = [first]
         deadline = time.perf_counter() + self._max_wait
         while len(batch) < self._max_batch:
             remaining = deadline - time.perf_counter()
             if remaining <= 0:
                 break
             try:
-                req = self._queue.get(timeout=remaining)
+                batch.append(self._queue.get(timeout=remaining))
             except queue.Empty:
                 break
-            if req is None:
-                self._queue.put(None)  # keep the stop signal for later
-                break
-            batch.append(req)
         return batch, False
 
     def _run(self) -> None:

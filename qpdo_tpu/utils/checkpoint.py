@@ -26,9 +26,18 @@ def save_pytree(path: str, tree) -> None:
 
 
 def load_pytree(path: str, like):
-    """Load leaves saved by ``save_pytree`` into the structure of ``like``."""
+    """Load leaves saved by ``save_pytree`` into the structure of ``like``.
+
+    The stored treedef must match ``like``'s: a structure with the same
+    leaf count but different field order would otherwise silently
+    misassign leaves by index."""
     data = np.load(path, allow_pickle=False)
     leaves_like, treedef = jax.tree.flatten(like)
+    stored = bytes(data["__treedef__"]).decode()
+    if stored != repr(treedef):
+        raise ValueError(
+            "checkpoint treedef mismatch:\n"
+            f"  stored: {stored}\n  expected: {treedef!r}")
     leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves_like))]
     return jax.tree.unflatten(treedef, leaves)
 

@@ -219,3 +219,34 @@ def test_write_read_roundtrip():
     r1 = qt.solve(p)
     r2 = qt.solve(qt.make_problem(d.Q, d.q, d.A, d.l, d.u, d.c))
     np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), atol=1e-9)
+
+
+def test_duplicate_q_entries_accumulate(tmp_path):
+    """Duplicate QUADOBJ entries accumulate (parity with the native parser,
+    which np.add.at's all triplets) rather than overwriting."""
+    txt = """NAME          DUPQ
+ROWS
+ N  obj
+ G  r1
+COLUMNS
+    x1        obj       1.0   r1        1.0
+    x2        r1        1.0
+RHS
+    rhs       r1        1.0
+BOUNDS
+ FR bnd       x1
+ FR bnd       x2
+QUADOBJ
+    x1        x1        1.0
+    x1        x1        1.0
+    x1        x2        0.5
+    x1        x2        0.5
+ENDATA
+"""
+    f = tmp_path / "dupq.qps"
+    f.write_text(txt)
+    from qpdo_tpu.io.qps import read_qps
+    data = read_qps(str(f))
+    np.testing.assert_allclose(data.Q[0, 0], 2.0)
+    np.testing.assert_allclose(data.Q[0, 1], 1.0)
+    np.testing.assert_allclose(data.Q[1, 0], 1.0)

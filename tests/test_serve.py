@@ -81,3 +81,38 @@ def test_shutdown_rejects():
     with pytest.raises(RuntimeError):
         svc.submit(qt.make_problem(np.eye(2), [0, 0], np.eye(2),
                                    [-1, -1], [1, 1]))
+
+
+def test_backpressure_bounded_queue():
+    """A full request queue raises queue.Full on non-blocking submit
+    instead of growing without bound."""
+    import queue as queue_mod
+
+    svc = SolverService(max_batch=4, max_wait_ms=5, max_pending=2)
+    # stall the worker by filling the queue faster than tiny solves drain;
+    # easiest deterministic way: stop the worker thread from consuming by
+    # submitting while it is busy compiling the first batch
+    p = qt.make_problem(np.eye(2), [0.0, 0.0], np.eye(2), [-1, -1], [1, 1])
+    futs = []
+    raised = False
+    try:
+        for _ in range(64):
+            futs.append(svc.submit(p, block=False))
+    except queue_mod.Full:
+        raised = True
+    assert raised, "bounded queue never signalled backpressure"
+    for f in futs:
+        f.result(timeout=300)
+    svc.shutdown()
+
+
+def test_shutdown_serves_admitted_requests():
+    """Every Future admitted before shutdown() resolves (no stranded
+    requests behind the stop signal)."""
+    svc = SolverService(max_batch=8, max_wait_ms=1)
+    p = qt.make_problem(np.eye(2), [0.0, 0.0], np.eye(2), [-1, -1], [1, 1])
+    futs = [svc.submit(p) for _ in range(16)]
+    svc.shutdown(wait=True)
+    for f in futs:
+        res = f.result(timeout=300)
+        assert int(res.info.status_val) == qt.SOLVED

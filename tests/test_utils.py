@@ -72,3 +72,26 @@ def test_phase_timer():
     sync(x)
     assert t.times["a"] >= 0
     assert t.counts["a"] == 1
+
+
+def test_checkpoint_treedef_mismatch_raises():
+    """load_pytree must reject a `like` whose structure differs from the
+    stored treedef (same leaf count, different field order would silently
+    misassign leaves otherwise)."""
+    from qpdo_tpu.types import Scaling
+
+    sc = Scaling(D=jnp.ones(3), Dinv=jnp.ones(3), E=jnp.ones(2),
+                 Einv=jnp.ones(2), c=jnp.ones(()), cinv=jnp.ones(()))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "sc.npz")
+        save_pytree(path, sc)
+        # same number of leaves (6), different structure
+        like = list(jax.tree.leaves(sc))
+        try:
+            load_pytree(path, like)
+            assert False, "mismatched treedef was accepted"
+        except ValueError as e:
+            assert "treedef mismatch" in str(e)
+        # matching structure loads fine
+        sc2 = load_pytree(path, sc)
+        np.testing.assert_array_equal(np.asarray(sc2.D), np.asarray(sc.D))

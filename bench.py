@@ -5,12 +5,60 @@ m=150, box constraints, eps=1e-6), lock-step vmapped solve.  Prints one JSON
 line: {"metric", "value", "unit", "vs_baseline"} where the baseline is the
 north-star target of 10,000 QPs/s/chip (the reference publishes no numbers,
 BASELINE.md).
+
+Also reports FLOP/MFU accounting: analytic per-iteration FLOPs of the
+algorithm (KKT formation, Cholesky, refinement, GEMMs) divided by the
+chip's *measured* f32 matmul peak — so "the chip is saturated" is a
+measurement, not an assertion.
 """
 
 import json
 import time
 
 import numpy as np
+
+
+def flops_per_iteration(n: int, m: int, refine_steps: int) -> float:
+    """Analytic FLOPs of one solver iteration for one problem (multiply+add
+    = 2 FLOPs).  Counts the O(n^2)/O(mn) dense work of solver/core.py
+    `step` + ops/linalg.py `newton_system_solve`; elementwise O(n+m) terms
+    are ignored (<1%)."""
+    formation = 2.0 * m * n * n + m * n          # A' (w o A) + row scale
+    cholesky = n ** 3 / 3.0
+    tri_solves = 2.0 * n * n                     # two triangular solves
+    refine = refine_steps * (tri_solves + 2.0 * n * n + 4.0 * m * n)
+    at_ytilde = 2.0 * m * n                      # rhs matvec
+    qdx = 2.0 * n * n                            # Q dx (linesearch input)
+    cert_gemms = 8.0 * m * n + 2.0 * n * n       # A@[dx,dxc], A'@[dy,dyc], Qdxc
+    return (formation + cholesky + tri_solves + refine + at_ytilde
+            + qdx + cert_gemms)
+
+
+def measure_peak_tflops(reps: int = 3, size: int = 4096) -> dict:
+    """Measured matmul peak of the attached chip, f32-highest (the solver's
+    arithmetic mode) and bf16 (the hardware's nominal fast path)."""
+    import jax
+    import jax.numpy as jnp
+
+    out = {}
+    for name, dtype, prec in (("f32_highest", jnp.float32, "highest"),
+                              ("bf16", jnp.bfloat16, "default")):
+        a = jnp.ones((size, size), dtype)
+        b = jnp.ones((size, size), dtype)
+
+        def mm(a, b):
+            with jax.default_matmul_precision(prec):
+                return a @ b
+
+        f = jax.jit(mm)
+        np.asarray(f(a, b))[0, 0]  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = f(a, b)
+        np.asarray(r)[0, 0]  # sync via host transfer (axon quirk)
+        dt = (time.perf_counter() - t0) / reps
+        out[name] = 2.0 * size ** 3 / dt / 1e12
+    return out
 
 
 def main():
@@ -64,6 +112,15 @@ def main():
     dt = (time.perf_counter() - t0) / reps
 
     qps = B / dt
+    mean_iters = float(jnp.mean(res.info.iterations))
+
+    # ---- FLOP / MFU accounting ------------------------------------------
+    peak = measure_peak_tflops()
+    total_flops = B * mean_iters * flops_per_iteration(n, m,
+                                                       settings.refine_steps)
+    achieved_tflops = total_flops / dt / 1e12
+    mfu = achieved_tflops / peak["f32_highest"]
+
     baseline = 10_000.0  # north-star QPs/s/chip (BASELINE.json)
     print(json.dumps({
         "metric": "batched_qp_throughput_n100_m150_eps1e-6",
@@ -72,7 +129,11 @@ def main():
         "vs_baseline": round(qps / baseline, 6),
         "solved_fraction": round(solved, 4),
         "batch": B,
-        "mean_iters": round(float(jnp.mean(res.info.iterations)), 2),
+        "mean_iters": round(mean_iters, 2),
+        "achieved_tflops": round(achieved_tflops, 4),
+        "peak_tflops_f32_highest": round(peak["f32_highest"], 3),
+        "peak_tflops_bf16": round(peak["bf16"], 3),
+        "mfu": round(mfu, 4),
     }))
 
 

@@ -1,0 +1,212 @@
+"""Problem operators: one algorithm core over interchangeable linear algebra.
+
+The reference hard-codes one data representation (CHOLMOD CSC sparse,
+src/cholmod_interface.c) under one algorithm (src/iteration.c).  Here the
+algorithm core (solver/core.py) is written against the small *operator*
+protocol in this module, and each representation implements it:
+
+- ``DenseOperator``         — dense Q/A, masked-matmul KKT + Cholesky
+  (the batched small-QP fast path; replaces cholmod_interface.c:35-52).
+- ``SparseOperator``        — BCOO Q/A with preconditioned-CG Newton solves
+  (the large-n path; plays the role of the reference's sparse LDL'
+  factorization, cholmod_interface.c:8-52, without materializing K).
+- ``BlockAngularOperator``  — scenario-structured arrow KKT with a
+  distributed Schur complement (solver/structured.py; no reference
+  equivalent — the reference is single-threaded).
+
+Vector convention: *primal* vectors (x, Qx, Aty, rhs, q, D) and *dual*
+vectors (y, Ax, mu, l, u, E) are pytrees.  For the dense and sparse
+operators both are plain arrays; the block-angular operator carries the
+primal side as an ``(x0, xs)`` tuple.  The tree helpers below make the
+core's elementwise formulas representation-agnostic while compiling to
+exactly the same XLA ops as the direct array code in the single-leaf case.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .types import ScaledProblem, Settings
+
+
+# ---------------------------------------------------------------------------
+# Pytree vector helpers
+# ---------------------------------------------------------------------------
+
+def tmap(f, *trees):
+    """Elementwise map over matching pytrees (scalars broadcast via closure)."""
+    return jax.tree.map(f, *trees)
+
+
+def tleaves(tree):
+    return jax.tree.leaves(tree)
+
+
+def tdot(a, b):
+    """Sum of elementwise products over all leaves (inner product)."""
+    parts = [jnp.dot(x.ravel(), y.ravel())
+             for x, y in zip(tleaves(a), tleaves(b))]
+    return functools.reduce(jnp.add, parts)
+
+
+def tnorm_inf(a):
+    """Infinity norm over all leaves."""
+    parts = [jnp.max(jnp.abs(x)) for x in tleaves(a)]
+    return functools.reduce(jnp.maximum, parts)
+
+
+def tsum(a):
+    """Scalar sum over all leaves."""
+    parts = [jnp.sum(x) for x in tleaves(a)]
+    return functools.reduce(jnp.add, parts)
+
+
+def tany(a):
+    """Logical-or reduction over all leaves of boolean trees."""
+    parts = [jnp.any(x) for x in tleaves(a)]
+    return functools.reduce(jnp.logical_or, parts)
+
+
+def tflat(a):
+    """Flatten a pytree vector into one 1-d array (linesearch assembly)."""
+    leaves = [x.reshape(-1) for x in tleaves(a)]
+    return leaves[0] if len(leaves) == 1 else jnp.concatenate(leaves)
+
+
+def tcast(a, dtype):
+    return tmap(lambda x: x.astype(dtype), a)
+
+
+def tzeros_like(a, dtype=None):
+    return tmap(lambda x: jnp.zeros_like(x, dtype=dtype), a)
+
+
+def tfinite(a):
+    """All leaves entirely finite (scalar bool)."""
+    parts = [jnp.all(jnp.isfinite(x)) for x in tleaves(a)]
+    return functools.reduce(jnp.logical_and, parts)
+
+
+# ---------------------------------------------------------------------------
+# Dense operator (the reference-parity fast path)
+# ---------------------------------------------------------------------------
+
+class DenseOperator(NamedTuple):
+    """Dense Q/A with masked-matmul KKT formation + Cholesky Newton solves.
+
+    Wraps a ``ScaledProblem``; primal and dual vectors are plain arrays.
+    """
+
+    sp: ScaledProblem
+
+    # -- data accessors (scaled space) --
+    @property
+    def q(self):
+        return self.sp.data.q
+
+    @property
+    def l(self):
+        return self.sp.data.l
+
+    @property
+    def u(self):
+        return self.sp.data.u
+
+    @property
+    def c(self):
+        return self.sp.data.c
+
+    @property
+    def dtype(self):
+        return self.sp.data.Q.dtype
+
+    @property
+    def D(self):
+        return self.sp.scaling.D
+
+    @property
+    def Dinv(self):
+        return self.sp.scaling.Dinv
+
+    @property
+    def E(self):
+        return self.sp.scaling.E
+
+    @property
+    def Einv(self):
+        return self.sp.scaling.Einv
+
+    @property
+    def cost(self):
+        return self.sp.scaling.c
+
+    @property
+    def cinv(self):
+        return self.sp.scaling.cinv
+
+    @property
+    def l_finite(self):
+        return self.sp.l_finite
+
+    @property
+    def u_finite(self):
+        return self.sp.u_finite
+
+    # -- vectors --
+    def zeros_primal(self):
+        n = self.sp.data.Q.shape[-1]
+        return jnp.zeros((n,), self.dtype)
+
+    def zeros_dual(self):
+        m = self.sp.data.A.shape[-2]
+        return jnp.zeros((m,), self.dtype)
+
+    # -- matvecs; ``dtype`` selects a reduced-precision compute path whose
+    # result is cast back to the state dtype (see solver/core.py for where
+    # the error analysis allows this) --
+    def Qmv(self, x, dtype=None):
+        Q = self.sp.data.Q
+        if dtype is not None and jnp.dtype(dtype) != Q.dtype:
+            return (Q.astype(dtype) @ x.astype(dtype)).astype(Q.dtype)
+        return Q @ x
+
+    def Amv(self, x, dtype=None):
+        A = self.sp.data.A
+        if dtype is not None and jnp.dtype(dtype) != A.dtype:
+            return (A.astype(dtype) @ x.astype(dtype)).astype(A.dtype)
+        return A @ x
+
+    def Atmv(self, y, dtype=None):
+        A = self.sp.data.A
+        if dtype is not None and jnp.dtype(dtype) != A.dtype:
+            return (A.T.astype(dtype) @ y.astype(dtype)).astype(A.dtype)
+        return A.T @ y
+
+    # -- paired matvecs: on TPU each state-dtype GEMM dispatch is expensive
+    # (emulated float64), so the Newton direction and the infeasibility
+    # certificate direction ride one stacked 2-column GEMM --
+    def Amv2(self, xa, xb):
+        AV = self.sp.data.A @ jnp.stack([xa, xb], axis=-1)     # (m, 2)
+        return AV[..., 0], AV[..., 1]
+
+    def Atmv2(self, ya, yb):
+        AtV = self.sp.data.A.T @ jnp.stack([ya, yb], axis=-1)  # (n, 2)
+        return AtV[..., 0], AtV[..., 1]
+
+    # -- Newton system solve (the factorization event, newton.c:21-49) --
+    def newton_solve(self, active, mu, sigma, rhs, settings: Settings):
+        from .ops.linalg import newton_system_solve
+        d = self.sp.data
+        return newton_system_solve(d.Q, d.A, active, mu, sigma, rhs,
+                                   settings.proximal, settings.refine_steps,
+                                   settings.kkt_dtype)
+
+    def cast(self, dtype) -> "DenseOperator":
+        from_dt = self.dtype
+        sp = jax.tree.map(
+            lambda a: a.astype(dtype) if a.dtype == from_dt else a, self.sp)
+        return DenseOperator(sp=sp)

@@ -33,7 +33,10 @@ def exact_linesearch(dx, dy, Qdx, Adx, df, y, w, mu, l, u,
 
     Arguments are the scaled-space quantities of the current Newton step;
     ``Qdx`` must already include the sigma*dx term when proximal (the
-    reference's Qdx cache, src/newton.c:52-55).
+    reference's Qdx cache, src/newton.c:52-55).  Primal (dx, Qdx, df) and
+    dual (dy, Adx, y, w, mu, l, u) vectors may be pytrees (operator
+    convention, qpdo_tpu/operators.py); the 2m hinge terms are assembled
+    over all dual leaves.
 
     Coefficient assembly mirrors exact_linesearch (src/linesearch.c:8-51):
       eta   = 0.5*( dx'(Q+sigma I)dx + dy'(mu.*dy)/2 )
@@ -42,13 +45,17 @@ def exact_linesearch(dx, dy, Qdx, Adx, df, y, w, mu, l, u,
       delta = [-c0/sqrt(mu); c0/sqrt(mu)]
       alpha = [(w-l)/sqrt(mu); (u-w)/sqrt(mu)]
     """
-    mu_dy_half = 0.5 * mu * dy
-    eta = 0.5 * (jnp.dot(dx, Qdx) + jnp.dot(dy, mu_dy_half))
-    beta = 0.5 * (jnp.dot(dx, df) + jnp.dot(y, mu_dy_half))
-    rsqrt_mu = jax.lax.rsqrt(mu)
-    d_half = (Adx - mu_dy_half) * rsqrt_mu          # c0 ./ sqrt(mu)
+    from ..operators import tdot, tflat, tmap
+
+    mu_dy_half = tmap(lambda m, d: 0.5 * m * d, mu, dy)
+    eta = 0.5 * (tdot(dx, Qdx) + tdot(dy, mu_dy_half))
+    beta = 0.5 * (tdot(dx, df) + tdot(y, mu_dy_half))
+    d_half = tflat(tmap(lambda a, h, m: (a - h) * jax.lax.rsqrt(m),
+                        Adx, mu_dy_half, mu))       # c0 ./ sqrt(mu)
+    wl = tflat(tmap(lambda wv, lv, m: (wv - lv) * jax.lax.rsqrt(m), w, l, mu))
+    uw = tflat(tmap(lambda uv, wv, m: (uv - wv) * jax.lax.rsqrt(m), u, w, mu))
     delta = jnp.concatenate([-d_half, d_half])
-    alpha = jnp.concatenate([(w - l) * rsqrt_mu, (u - w) * rsqrt_mu])
+    alpha = jnp.concatenate([wl, uw])
     if method == "bisect":
         return pwa_root_bisect(eta, beta, delta, alpha)
     return pwa_root(eta, beta, delta, alpha)

@@ -19,6 +19,13 @@ reference that preserve semantics but change the mechanism:
 - The Qx cache stores the *pure* product Q@x; the reference folds sigma*x
   into it when proximal (qpdo.c:249).  All formulas below add the sigma
   terms explicitly, which is algebraically identical.
+
+The step is written against the operator protocol of ``qpdo_tpu.operators``:
+primal/dual vectors are pytrees and all matrix products go through the
+operator, so the same code drives the dense path (``DenseOperator``), the
+large-n sparse-CG path (``SparseOperator``), and the block-angular
+distributed path (``BlockAngularOperator``).  For the dense single-leaf
+case every tree helper below lowers to exactly the direct array op.
 """
 
 from __future__ import annotations
@@ -29,26 +36,30 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as _c
-from ..ops.linalg import newton_system_solve
+from ..operators import (DenseOperator, tany, tcast, tdot, tmap,
+                         tnorm_inf, tsum)
 from ..ops.linesearch import exact_linesearch
 from ..types import Info, Result, ScaledProblem, Settings, SolverState
 
 
-def _norm_inf(v):
-    return jnp.max(jnp.abs(v))
+def as_operator(sp_or_op):
+    """Accept a ScaledProblem (wrapped in a DenseOperator) or any operator."""
+    if isinstance(sp_or_op, ScaledProblem):
+        return DenseOperator(sp=sp_or_op)
+    return sp_or_op
 
 
 def _with_matmul_precision(fn):
     """Trace the wrapped function under settings.matmul_precision.
 
-    All core entry points take (sp, settings, ...) so the context can be
+    All core entry points take (op, settings, ...) so the context can be
     derived from the second argument.  Without this, TPU float32 matmuls
     run as single-pass bfloat16 and the 1e-3/1e-6 tolerances sit inside
     matmul noise."""
     @functools.wraps(fn)
-    def wrapped(sp, settings, *args, **kwargs):
+    def wrapped(op, settings, *args, **kwargs):
         with jax.default_matmul_precision(settings.matmul_precision):
-            return fn(sp, settings, *args, **kwargs)
+            return fn(op, settings, *args, **kwargs)
     return wrapped
 
 
@@ -57,39 +68,43 @@ def _with_matmul_precision(fn):
 # ---------------------------------------------------------------------------
 
 @_with_matmul_precision
-def init_state(sp: ScaledProblem, settings: Settings,
+def init_state(op, settings: Settings,
                x0, y0, warm_x: bool, warm_y: bool) -> SolverState:
-    d = sp.data
-    sc = sp.scaling
-    dt = d.Q.dtype
-    n, m = d.Q.shape[-1], d.A.shape[-2]
+    op = as_operator(op)
+    dt = op.dtype
     sigma = jnp.asarray(settings.sigma_init, dt)
 
     if warm_x:
-        x = sc.Dinv * x0.astype(dt)       # qpdo.c:237-242
-        Qx = d.Q @ x
-        Ax = d.A @ x
+        x = tmap(lambda Dinv, v: Dinv * v.astype(dt), op.Dinv, x0)  # qpdo.c:237-242
+        Qx = op.Qmv(x)
+        Ax = op.Amv(x)
     else:
-        x = jnp.zeros((n,), dt)
-        Qx = jnp.zeros((n,), dt)
-        Ax = jnp.zeros((m,), dt)
+        x = op.zeros_primal()
+        Qx = op.zeros_primal()
+        Ax = op.zeros_dual()
 
     if warm_y:
-        y = sc.c * (sc.Einv * y0.astype(dt))  # qpdo.c:268-274
-        Aty = d.A.T @ y
+        cost = op.cost
+        y = tmap(lambda Einv, v: cost * (Einv * v.astype(dt)), op.Einv, y0)  # qpdo.c:268-274
+        Aty = op.Atmv(y)
     else:
-        y = jnp.zeros((m,), dt)
-        Aty = jnp.zeros((n,), dt)
+        y = op.zeros_dual()
+        Aty = op.zeros_primal()
 
     # initialize_mu — Birgin-Martinez balancing (iteration.c:98-109).  The
     # reference's Qx cache includes sigma*x when proximal, so f does too.
-    Qx_eff = Qx + sigma * x if settings.proximal else Qx
-    f = 0.5 * jnp.dot(x, Qx_eff) + jnp.dot(d.q, x)
-    r = Ax - jnp.clip(Ax, d.l, d.u)
+    if settings.proximal:
+        Qx_eff = tmap(lambda a, b: a + sigma * b, Qx, x)
+    else:
+        Qx_eff = Qx
+    f = 0.5 * tdot(x, Qx_eff) + tdot(op.q, x)
     one = jnp.asarray(1.0, dt)
-    mu = jnp.clip(
-        0.1 * jnp.maximum(one, 0.5 * r * r) / jnp.maximum(one, jnp.abs(f)),
-        1e-3, 1e3)
+    fmax = jnp.maximum(one, jnp.abs(f))
+    mu = tmap(
+        lambda Ax1, l1, u1: jnp.clip(
+            0.1 * jnp.maximum(one, 0.5 * jnp.square(Ax1 - jnp.clip(Ax1, l1, u1)))
+            / fmax, 1e-3, 1e3),
+        Ax, op.l, op.u)
 
     if (warm_x or warm_y) and settings.warm_mu_adapt:
         # TPU extension (no reference equivalent): scale the initial
@@ -100,20 +115,24 @@ def init_state(sp: ScaledProblem, settings: Settings,
         # wasted iterations in the MPC re-solve workflow); a near-optimal
         # point justifies near-final penalties.  A bad warm point (large
         # residual) keeps scale 1 and reference behaviour.
-        y_term = (sc.E * sc.E / sc.c) * y
-        rp0 = jnp.max(jnp.abs(sc.Einv * (Ax - jnp.clip(Ax + y_term,
-                                                       d.l, d.u))))
-        rd0 = jnp.max(jnp.abs(sc.Dinv * (Qx + d.q + Aty))) / sc.c
+        cinv = op.cinv
+        y_term = tmap(lambda E, v: (E * E / op.cost) * v, op.E, y)
+        rp0 = tnorm_inf(tmap(
+            lambda Einv, Ax1, yt, l1, u1: Einv * (Ax1 - jnp.clip(Ax1 + yt, l1, u1)),
+            op.Einv, Ax, y_term, op.l, op.u))
+        rd0 = tnorm_inf(tmap(lambda Dinv, Qx1, q1, Aty1: Dinv * (Qx1 + q1 + Aty1),
+                             op.Dinv, Qx, op.q, Aty)) / op.cost
         quality = jnp.maximum(rp0, rd0)
         mu_scale = jnp.clip(quality, settings.warm_mu_scale_min, 1.0)
-        mu = jnp.maximum(mu * mu_scale, jnp.asarray(settings.mu_min, dt))
+        mu = tmap(lambda m: jnp.maximum(m * mu_scale,
+                                        jnp.asarray(settings.mu_min, dt)), mu)
 
     zero = jnp.asarray(0.0, dt)
     i0 = jnp.asarray(0, jnp.int32)
     return SolverState(
         x=x, y=y, Qx=Qx, Ax=Ax, Aty=Aty, xbar=x, ybar=y, mu=mu,
         sigma=sigma, eps_in=jnp.asarray(settings.eps_abs_in, dt),
-        res_prim_old=jnp.zeros((m,), dt), tau=zero,
+        res_prim_old=op.zeros_dual(), tau=zero,
         iter=i0, iter_old=i0, oter=i0,
         status=jnp.asarray(_c.UNSOLVED, jnp.int32),
         res_prim_norm=zero, res_dual_norm=zero,
@@ -125,31 +144,38 @@ def init_state(sp: ScaledProblem, settings: Settings,
 # ---------------------------------------------------------------------------
 
 @_with_matmul_precision
-def step(sp: ScaledProblem, settings: Settings, s: SolverState) -> SolverState:
-    d = sp.data
-    sc = sp.scaling
-    dt = d.Q.dtype
+def step(op, settings: Settings, s: SolverState) -> SolverState:
+    op = as_operator(op)
+    dt = op.dtype
     one = jnp.asarray(1.0, dt)
     eps_abs = jnp.asarray(settings.eps_abs, dt)
+    cinv = op.cinv
+    cost = op.cost
+    sigma = s.sigma
 
     # ---- outer residuals (iteration.c:30-60; norms termination.c:35-53) ----
     # res_prim = Ax - proj_[l,u](Ax + E*(E*y)*cinv)   [scaled space]
-    y_term = (sc.E * sc.E * sc.cinv) * s.y
-    res_prim = s.Ax - jnp.clip(s.Ax + y_term, d.l, d.u)
-    res_dual = s.Qx + d.q + s.Aty
-    res_prim_norm = _norm_inf(sc.Einv * res_prim)
-    res_dual_norm = _norm_inf(sc.Dinv * res_dual) * sc.cinv
+    res_prim = tmap(
+        lambda Ax, E, y, l, u: Ax - jnp.clip(Ax + (E * E * cinv) * y, l, u),
+        s.Ax, op.E, s.y, op.l, op.u)
+    res_dual = tmap(lambda Qx, q, Aty: Qx + q + Aty, s.Qx, op.q, s.Aty)
+    res_prim_norm = tnorm_inf(tmap(jnp.multiply, op.Einv, res_prim))
+    res_dual_norm = tnorm_inf(tmap(jnp.multiply, op.Dinv, res_dual)) * cinv
 
     # ---- inner residuals (iteration.c:65-93; norms termination.c:58-77) ----
-    w = s.Ax + s.mu * (s.ybar - 0.5 * s.y)
-    z_in = jnp.clip(w, d.l, d.u)
-    res_prim_in = s.Ax + s.mu * (s.ybar - s.y) - z_in
-    df = s.Qx + d.q
+    w = tmap(lambda Ax, mu, ybar, y: Ax + mu * (ybar - 0.5 * y),
+             s.Ax, s.mu, s.ybar, s.y)
+    res_prim_in = tmap(
+        lambda Ax, mu, ybar, y, wv, l, u: Ax + mu * (ybar - y) - jnp.clip(wv, l, u),
+        s.Ax, s.mu, s.ybar, s.y, w, op.l, op.u)
     if settings.proximal:
-        df = df + s.sigma * (s.x - s.xbar)
-    res_dual_in = df + s.Aty
-    res_prim_in_norm = _norm_inf(sc.Einv * res_prim_in)
-    res_dual_in_norm = _norm_inf(sc.Dinv * res_dual_in) * sc.cinv
+        df = tmap(lambda Qx, q, x, xbar: Qx + q + sigma * (x - xbar),
+                  s.Qx, op.q, s.x, s.xbar)
+    else:
+        df = tmap(lambda Qx, q: Qx + q, s.Qx, op.q)
+    res_dual_in = tmap(jnp.add, df, s.Aty)
+    res_prim_in_norm = tnorm_inf(tmap(jnp.multiply, op.Einv, res_prim_in))
+    res_dual_in_norm = tnorm_inf(tmap(jnp.multiply, op.Dinv, res_dual_in)) * cinv
 
     # ---- outer optimality / divergence (termination.c:11-23) ----
     infty = jnp.asarray(_c.QPDO_INFTY, dt)
@@ -170,18 +196,20 @@ def step(sp: ScaledProblem, settings: Settings, s: SolverState) -> SolverState:
     # Branch A: Newton step (computed unconditionally; masked in at the end)
     # =======================================================================
     # active set as weights (newton.c:96-107)
-    active = ((w <= d.l) | (w >= d.u)).astype(dt)
+    active = tmap(lambda wv, l, u: ((wv <= l) | (wv >= u)).astype(dt),
+                  w, op.l, op.u)
     # rhs: ytilde = (I+P) res_prim_in / mu (doubled on inactive rows),
     # rhs = -(res_dual_in + A' ytilde)   (newton.c:37-45)
-    ytilde = (res_prim_in / s.mu) * (2.0 - active)
+    ytilde = tmap(lambda r, mu, a: (r / mu) * (2.0 - a),
+                  res_prim_in, s.mu, active)
 
     # The infeasibility-check directions are known before the Newton solve,
     # so their matvecs ride along in stacked GEMMs (2-column right-hand
     # sides) — on TPU each state-dtype GEMM call is expensive, and the
     # masked lock-step design computes branch B every iteration anyway.
     check_inf = settings.eps_prim_inf > 0 or settings.eps_dual_inf > 0
-    dy_c = s.y - s.ybar                     # primal certificate direction
-    dx_c = s.x - s.xbar                     # dual certificate direction
+    dy_c = tmap(jnp.subtract, s.y, s.ybar)  # primal certificate direction
+    dx_c = tmap(jnp.subtract, s.x, s.xbar)  # dual certificate direction
 
     # Reduced-precision matvecs where the error analysis allows it (the
     # state dtype may be emulated float64 on TPU, ~3ms per GEMM):
@@ -193,64 +221,67 @@ def step(sp: ScaledProblem, settings: Settings, s: SolverState) -> SolverState:
     # Everything dividing by mu (A dx -> dy, newton.c:60-63) or feeding the
     # eps-relative infeasibility tests stays in the state dtype.
     kdt = jnp.dtype(settings.kkt_dtype) if settings.kkt_dtype else dt
-    A_k = d.A.astype(kdt)
-    At_ytilde = (A_k.T @ ytilde.astype(kdt)).astype(dt)
-    rhs = -(res_dual_in + At_ytilde)
-    dx = newton_system_solve(d.Q, d.A, active, s.mu, s.sigma, rhs,
-                             settings.proximal, settings.refine_steps,
-                             settings.kkt_dtype)
-    Qdx_pure = (d.Q.astype(kdt) @ dx.astype(kdt)).astype(dt)
+    At_ytilde = op.Atmv(ytilde, dtype=kdt)
+    rhs = tmap(lambda rd, aty: -(rd + aty), res_dual_in, At_ytilde)
+    dx = op.newton_solve(active, s.mu, sigma, rhs, settings)
+    Qdx_pure = op.Qmv(dx, dtype=kdt)
     if check_inf:
-        AV = d.A @ jnp.stack([dx, dx_c], axis=-1)          # (m, 2)
-        Adx, Adx_c_raw = AV[:, 0], AV[:, 1]
-        Qdx_c = d.Q @ dx_c
+        Adx, Adx_c_raw = op.Amv2(dx, dx_c)
+        Qdx_c = op.Qmv(dx_c)
     else:
-        Adx = d.A @ dx
+        Adx = op.Amv(dx)
         Qdx_c = Adx_c_raw = Atdy_c_raw = None
-    Qdx = Qdx_pure + s.sigma * dx if settings.proximal else Qdx_pure
-    dy = ytilde + active * (Adx / s.mu)               # newton.c:60-63
-    if check_inf:
-        AtV = d.A.T @ jnp.stack([dy, dy_c], axis=-1)       # (n, 2)
-        Atdy, Atdy_c_raw = AtV[:, 0], AtV[:, 1]
+    if settings.proximal:
+        Qdx = tmap(lambda a, b: a + sigma * b, Qdx_pure, dx)
     else:
-        Atdy = d.A.T @ dy
-    tau = exact_linesearch(dx, dy, Qdx, Adx, df, s.y, w, s.mu, d.l, d.u,
+        Qdx = Qdx_pure
+    dy = tmap(lambda yt, a, adx, mu: yt + a * (adx / mu),
+              ytilde, active, Adx, s.mu)               # newton.c:60-63
+    if check_inf:
+        Atdy, Atdy_c_raw = op.Atmv2(dy, dy_c)
+    else:
+        Atdy = op.Atmv(dy)
+    tau = exact_linesearch(dx, dy, Qdx, Adx, df, s.y, w, s.mu, op.l, op.u,
                            settings.linesearch)
     # iterate + cache updates (iteration.c:19-24); Qx cache is pure Q@x here
-    x_nwt = s.x + tau * dx
-    y_nwt = s.y + tau * dy
-    Qx_nwt = s.Qx + tau * Qdx_pure
-    Ax_nwt = s.Ax + tau * Adx
-    Aty_nwt = s.Aty + tau * Atdy
+    axpy = lambda v, d: tmap(lambda a, b: a + tau * b, v, d)
+    x_nwt = axpy(s.x, dx)
+    y_nwt = axpy(s.y, dy)
+    Qx_nwt = axpy(s.Qx, Qdx_pure)
+    Ax_nwt = axpy(s.Ax, Adx)
+    Aty_nwt = axpy(s.Aty, Atdy)
 
     # =======================================================================
     # Branch B: subproblem boundary — infeasibility checks + prox update
     # =======================================================================
     if check_inf:
         # primal infeasibility via dy = y - ybar (termination.c:97-151)
-        norm_Edy = _norm_inf(sc.E * dy_c)
-        Atdy_c = sc.Dinv * Atdy_c_raw
-        oob = jnp.sum(d.u * jnp.maximum(dy_c, 0.0) * sp.u_finite
-                      + d.l * jnp.minimum(dy_c, 0.0) * sp.l_finite)
+        norm_Edy = tnorm_inf(tmap(jnp.multiply, op.E, dy_c))
+        Atdy_c_norm = tnorm_inf(tmap(jnp.multiply, op.Dinv, Atdy_c_raw))
+        oob = tsum(tmap(
+            lambda u, l, d, uf, lf: u * jnp.maximum(d, 0.0) * uf
+            + l * jnp.minimum(d, 0.0) * lf,
+            op.u, op.l, dy_c, op.u_finite, op.l_finite))
         eps_pinf = jnp.asarray(settings.eps_prim_inf, dt)
         prim_inf = ((norm_Edy > 0)
-                    & (_norm_inf(Atdy_c) <= eps_pinf * norm_Edy)
+                    & (Atdy_c_norm <= eps_pinf * norm_Edy)
                     & (oob <= -eps_pinf * norm_Edy))
         prim_inf &= can_check & (settings.eps_prim_inf > 0)
 
         # dual infeasibility via dx = x - xbar (termination.c:156-216)
-        norm_Ddx = _norm_inf(sc.D * dx_c)
-        Adx_c = sc.Einv * Adx_c_raw
+        norm_Ddx = tnorm_inf(tmap(jnp.multiply, op.D, dx_c))
         eps_dinf = jnp.asarray(settings.eps_dual_inf, dt)
         thr = eps_dinf * norm_Ddx
-        rows_bad = jnp.any((sp.u_finite * (Adx_c >= thr) > 0)
-                           | (sp.l_finite * (Adx_c <= -thr) > 0))
+        rows_bad = tany(tmap(
+            lambda Einv, adx, uf, lf: (uf * (Einv * adx >= thr) > 0)
+            | (lf * (Einv * adx <= -thr) > 0),
+            op.Einv, Adx_c_raw, op.u_finite, op.l_finite))
         if settings.proximal:
             # quirk preserved from termination.c:200-202: - sigma*tau*dx
-            Qdx_c = Qdx_c - s.sigma * s.tau * dx_c
+            Qdx_c = tmap(lambda qd, d: qd - sigma * s.tau * d, Qdx_c, dx_c)
         dual_inf = ((norm_Ddx > 0) & ~rows_bad
-                    & (_norm_inf(Qdx_c) <= sc.c * thr)
-                    & (jnp.dot(d.q, dx_c) <= -sc.c * thr))
+                    & (tnorm_inf(Qdx_c) <= cost * thr)
+                    & (tdot(op.q, dx_c) <= -cost * thr))
         dual_inf &= can_check & (settings.eps_dual_inf > 0) & ~prim_inf
     else:
         prim_inf = jnp.asarray(False)
@@ -258,22 +289,27 @@ def step(sp: ScaledProblem, settings: Settings, s: SolverState) -> SolverState:
 
     # mu update (iteration.c:127-168), gated on oter>0 and outer primal
     # residual still above tolerance (qpdo.c:400-402)
-    res_norm_scaled = _norm_inf(res_prim)
-    abs_rp = jnp.abs(res_prim)
-    mu_cond = abs_rp > jnp.maximum(eps_abs,
-                                   settings.theta * jnp.abs(s.res_prim_old))
-    safe_rp = jnp.where(mu_cond, abs_rp, one)
-    mu_factor = one / jnp.minimum(one, settings.delta * res_norm_scaled / safe_rp)
-    mu_shrunk = jnp.maximum(s.mu / mu_factor, jnp.asarray(settings.mu_min, dt))
+    res_norm_scaled = tnorm_inf(res_prim)
+    mu_min = jnp.asarray(settings.mu_min, dt)
+
     do_mu = (s.oter > 0) & (res_prim_norm > eps_abs)
-    mu_out = jnp.where(do_mu & mu_cond, mu_shrunk, s.mu)
+
+    def mu_update(mu, rp, rp_old):
+        abs_rp = jnp.abs(rp)
+        cond = abs_rp > jnp.maximum(eps_abs, settings.theta * jnp.abs(rp_old))
+        safe_rp = jnp.where(cond, abs_rp, one)
+        factor = one / jnp.minimum(one, settings.delta * res_norm_scaled / safe_rp)
+        shrunk = jnp.maximum(mu / factor, mu_min)
+        return jnp.where(do_mu & cond, shrunk, mu)
+
+    mu_out = tmap(mu_update, s.mu, res_prim, s.res_prim_old)
 
     # sigma update (iteration.c:173-180), gated at qpdo.c:403-405
     do_sigma = settings.proximal & (s.oter > 0) & (res_dual_norm > eps_abs)
-    sigma_shrunk = jnp.maximum(s.sigma * settings.sigma_upd,
+    sigma_shrunk = jnp.maximum(sigma * settings.sigma_upd,
                                jnp.asarray(settings.sigma_min, dt))
-    sigma_out = jnp.where(do_sigma & (s.sigma > settings.sigma_min),
-                          sigma_shrunk, s.sigma)
+    sigma_out = jnp.where(do_sigma & (sigma > settings.sigma_min),
+                          sigma_shrunk, sigma)
 
     # inner tolerance shrink, only when the subproblem converged before the
     # iteration cap (qpdo.c:407-410)
@@ -298,8 +334,10 @@ def step(sp: ScaledProblem, settings: Settings, s: SolverState) -> SolverState:
         status_opt).astype(jnp.int32)
 
     def pick(newton_val, outer_val, old):
-        return jnp.where(apply_newton, newton_val,
-                         jnp.where(apply_outer, outer_val, old))
+        return tmap(
+            lambda nv, ov, o: jnp.where(apply_newton, nv,
+                                        jnp.where(apply_outer, ov, o)),
+            newton_val, outer_val, old)
 
     return SolverState(
         x=pick(x_nwt, s.x, s.x),
@@ -329,58 +367,60 @@ def step(sp: ScaledProblem, settings: Settings, s: SolverState) -> SolverState:
 # Full solve on scaled data
 # ---------------------------------------------------------------------------
 
-def objective_value(sp: ScaledProblem, x, Qx):
+def objective_value(op, x, Qx):
     """0.5 x'Qx + q'x, unscaled (compute_objective, iteration.c:185-221)."""
-    d = sp.data
-    obj = 0.5 * jnp.dot(x, Qx) + jnp.dot(d.q, x)
-    return obj * sp.scaling.cinv + d.c
+    op = as_operator(op)
+    obj = 0.5 * tdot(x, Qx) + tdot(op.q, x)
+    return obj * op.cinv + op.c
 
 
 @_with_matmul_precision
-def run_loop(sp: ScaledProblem, settings: Settings, s: SolverState,
-             iter_cap) -> SolverState:
+def run_loop(op, settings: Settings, s: SolverState, iter_cap) -> SolverState:
     """Iterate until the status latches or ``iter`` reaches ``iter_cap``
     (the main loop, qpdo.c:343-449).  ``iter_cap`` may be traced, enabling
     chunked driving for max_time enforcement and verbose printing."""
+    op = as_operator(op)
 
     def cond(s: SolverState):
         return (s.status == _c.UNSOLVED) & (s.iter < iter_cap)
 
     def body(s: SolverState):
-        return step(sp, settings, s)
+        return step(op, settings, s)
 
     return jax.lax.while_loop(cond, body, s)
 
 
 @_with_matmul_precision
-def finalize(sp: ScaledProblem, settings: Settings, s: SolverState,
+def finalize(op, settings: Settings, s: SolverState,
              unsolved_status: int = _c.MAX_ITER_REACHED) -> Result:
     """Unscale the solution/certificates and assemble Info
     (store_solution, termination.c:82-92 + the exit path qpdo.c:451-473).
     ``unsolved_status`` is installed if the loop ended without latching
     (MAX_ITER_REACHED, or MAX_TIME_REACHED from the chunked driver)."""
+    op = as_operator(op)
     status = jnp.where(s.status == _c.UNSOLVED,
                        unsolved_status, s.status).astype(jnp.int32)
 
-    sc = sp.scaling
-    dt = sp.data.Q.dtype
+    dt = op.dtype
     nan = jnp.asarray(jnp.nan, dt)
+    cinv = op.cinv
 
     # unscale solution (store_solution, termination.c:82-92)
-    x_out = sc.D * s.x
-    y_out = sc.cinv * (sc.E * s.y)
+    x_out = tmap(jnp.multiply, op.D, s.x)
+    y_out = tmap(lambda E, y: cinv * (E * y), op.E, s.y)
     # certificates (termination.c:143-146 and 206)
-    dy_cert = sc.cinv * (sc.E * (s.y - s.ybar))
-    dx_cert = sc.D * (s.x - s.xbar)
+    dy_cert = tmap(lambda E, y, ybar: cinv * (E * (y - ybar)),
+                   op.E, s.y, s.ybar)
+    dx_cert = tmap(lambda D, x, xbar: D * (x - xbar), op.D, s.x, s.xbar)
 
     # NaN-filling per the MEX output contract (qpdo_mex.c:247-279)
     is_pinf = status == _c.PRIMAL_INFEASIBLE
     is_dinf = status == _c.DUAL_INFEASIBLE
     any_inf = is_pinf | is_dinf
-    x_out = jnp.where(any_inf, nan, x_out)
-    y_out = jnp.where(any_inf, nan, y_out)
-    dy_cert = jnp.where(is_pinf, dy_cert, nan)
-    dx_cert = jnp.where(is_dinf, dx_cert, nan)
+    x_out = tmap(lambda v: jnp.where(any_inf, nan, v), x_out)
+    y_out = tmap(lambda v: jnp.where(any_inf, nan, v), y_out)
+    dy_cert = tmap(lambda v: jnp.where(is_pinf, v, nan), dy_cert)
+    dx_cert = tmap(lambda v: jnp.where(is_dinf, v, nan), dx_cert)
 
     zero = jnp.asarray(0.0, dt)
     info = Info(
@@ -388,7 +428,7 @@ def finalize(sp: ScaledProblem, settings: Settings, s: SolverState,
         res_prim_norm=s.res_prim_norm, res_dual_norm=s.res_dual_norm,
         res_prim_in_norm=s.res_prim_in_norm,
         res_dual_in_norm=s.res_dual_in_norm,
-        objective=objective_value(sp, s.x, s.Qx),
+        objective=objective_value(op, s.x, s.Qx),
         setup_time=zero, solve_time=zero, run_time=zero)
     return Result(x=x_out, y=y_out, prim_inf_cert=dy_cert,
                   dual_inf_cert=dx_cert, info=info)
@@ -424,32 +464,33 @@ def warmup_iter_cap(settings: Settings) -> int:
     return max(1, settings.max_iter // 2)
 
 
-def _warmup_pass(sp: ScaledProblem, settings: Settings,
+def _warmup_pass(op, settings: Settings,
                  x0, y0, warm_x: bool, warm_y: bool) -> SolverState:
     """Phase 1 of the hybrid solve: run the full algorithm in float32 to
     ``warmup_eps``, then upcast the state and recompute the caches exactly."""
+    op = as_operator(op)
     s32_settings = warmup_settings(settings)
     f32 = jnp.float32
-    sp32 = cast_scaled_problem(sp, f32)
-    x032 = None if x0 is None else x0.astype(f32)
-    y032 = None if y0 is None else y0.astype(f32)
-    s = init_state(sp32, s32_settings, x032, y032, warm_x, warm_y)
-    s = run_loop(sp32, s32_settings, s, warmup_iter_cap(settings))
-    return upcast_state(sp, settings, s)
+    op32 = op.cast(f32)
+    x032 = None if x0 is None else tcast(x0, f32)
+    y032 = None if y0 is None else tcast(y0, f32)
+    s = init_state(op32, s32_settings, x032, y032, warm_x, warm_y)
+    s = run_loop(op32, s32_settings, s, warmup_iter_cap(settings))
+    return upcast_state(op, settings, s)
 
 
 @_with_matmul_precision
-def upcast_state(sp: ScaledProblem, settings: Settings,
-                 s: SolverState) -> SolverState:
+def upcast_state(op, settings: Settings, s: SolverState) -> SolverState:
     """Upcast a phase-1 state: exact caches in the target dtype; phase-1
     "solved" is only solved to warmup_eps, so reset it (infeasibility /
     divergence latches are disabled in phase 1; NON_CVX is kept)."""
-    dt = sp.data.Q.dtype
-    up = lambda a: a.astype(dt)
+    op = as_operator(op)
+    dt = op.dtype
+    up = lambda a: tcast(a, dt)
     x, y = up(s.x), up(s.y)
     status = jnp.where(s.status == _c.SOLVED, _c.UNSOLVED, s.status)
     return SolverState(
-        x=x, y=y, Qx=sp.data.Q @ x, Ax=sp.data.A @ x, Aty=sp.data.A.T @ y,
+        x=x, y=y, Qx=op.Qmv(x), Ax=op.Amv(x), Aty=op.Atmv(y),
         xbar=up(s.xbar), ybar=up(s.ybar), mu=up(s.mu), sigma=up(s.sigma),
         eps_in=up(s.eps_in), res_prim_old=up(s.res_prim_old), tau=up(s.tau),
         iter=s.iter, iter_old=s.iter_old, oter=s.oter,
@@ -460,14 +501,15 @@ def upcast_state(sp: ScaledProblem, settings: Settings,
 
 
 @_with_matmul_precision
-def solve_scaled(sp: ScaledProblem, settings: Settings,
+def solve_scaled(op, settings: Settings,
                  x0, y0, warm_x: bool, warm_y: bool) -> Result:
     """Run the main loop on scaled data and unscale the outputs.
 
     Jit-safe; ``settings``/``warm_x``/``warm_y`` must be static."""
-    if settings.hybrid_warmup and sp.data.Q.dtype != jnp.float32:
-        s0 = _warmup_pass(sp, settings, x0, y0, warm_x, warm_y)
+    op = as_operator(op)
+    if settings.hybrid_warmup and op.dtype != jnp.float32:
+        s0 = _warmup_pass(op, settings, x0, y0, warm_x, warm_y)
     else:
-        s0 = init_state(sp, settings, x0, y0, warm_x, warm_y)
-    s = run_loop(sp, settings, s0, settings.max_iter)
-    return finalize(sp, settings, s)
+        s0 = init_state(op, settings, x0, y0, warm_x, warm_y)
+    s = run_loop(op, settings, s0, settings.max_iter)
+    return finalize(op, settings, s)

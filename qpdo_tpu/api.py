@@ -70,6 +70,38 @@ def _solve_on_scaled(sp: ScaledProblem, settings: Settings, x0, y0,
     return solve_scaled(sp, settings, x0, y0, warm_x, warm_y)
 
 
+@functools.partial(jax.jit, static_argnames=("settings", "warm_x", "warm_y"))
+def _solve_on_operator(op, settings: Settings, x0, y0,
+                       warm_x: bool, warm_y: bool) -> Result:
+    return solve_scaled(op, settings, x0, y0, warm_x, warm_y)
+
+
+def solve_sparse(Q, q, A, l, u, c=0.0,
+                 settings: Optional[Settings] = None,
+                 x0=None, y0=None, dtype=None) -> Result:
+    """Large-n solve with sparse data and matrix-free CG Newton steps.
+
+    Same algorithm and outputs as ``solve`` (one-shot setup + solve,
+    qpdo.c:49-476), but Q/A stay in BCOO form and the Newton system is
+    solved by Jacobi-preconditioned CG (ops/cg.py) instead of a dense
+    Cholesky — the KKT matrix is never materialized, so memory is
+    O(nnz + n + m) like the reference's CHOLMOD backend
+    (src/cholmod_interface.c:35-52).  Accepts scipy.sparse, BCOO, or dense
+    array-likes; ``Q`` must be the full symmetric matrix.
+    """
+    from .solver.sparse import setup_sparse
+
+    settings = settings or Settings()
+    validate_settings(settings)
+    op = setup_sparse(Q, q, A, l, u, c, settings.scaling, dtype)
+    if x0 is not None:
+        x0 = jnp.asarray(x0, op.dtype)
+    if y0 is not None:
+        y0 = jnp.asarray(y0, op.dtype)
+    return _solve_on_operator(op, settings, x0, y0,
+                              x0 is not None, y0 is not None)
+
+
 def solve(problem: Problem, settings: Optional[Settings] = None,
           x0=None, y0=None) -> Result:
     """One-shot functional solve (setup + optional warm start + solve).

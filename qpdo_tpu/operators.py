@@ -210,3 +210,129 @@ class DenseOperator(NamedTuple):
         sp = jax.tree.map(
             lambda a: a.astype(dtype) if a.dtype == from_dt else a, self.sp)
         return DenseOperator(sp=sp)
+
+
+# ---------------------------------------------------------------------------
+# Sparse operator (the large-n path)
+# ---------------------------------------------------------------------------
+
+class SparseOperator(NamedTuple):
+    """BCOO Q/A with matrix-free preconditioned-CG Newton solves.
+
+    The large-n replacement of the reference's sparse LDL' backend
+    (src/cholmod_interface.c:8-52): K = Q + sigma*I + A' diag(active/mu) A
+    is never materialized — Newton directions come from Jacobi-
+    preconditioned CG (ops/cg.py) whose matvec is three O(nnz) sparse
+    products.  Scaled-space data, like ``DenseOperator``; build via
+    ``qpdo_tpu.solver.sparse.setup_sparse``.
+
+    ``Q``/``A``/``At`` are ``jax.experimental.sparse.BCOO`` (``At`` is A's
+    transpose stored separately so both matvec directions use row-major
+    gather/scatter); ``diagQ`` is precomputed once.
+    """
+
+    Q: Any           # BCOO (n, n), full symmetric
+    A: Any           # BCOO (m, n)
+    At: Any          # BCOO (n, m) — A transposed, own index array
+    diagQ: jax.Array  # (n,)
+    q: jax.Array     # (n,)
+    l: jax.Array     # (m,)
+    u: jax.Array     # (m,)
+    c: jax.Array     # scalar
+    D: jax.Array
+    Dinv: jax.Array
+    E: jax.Array
+    Einv: jax.Array
+    cost: jax.Array
+    cinv: jax.Array
+    l_finite: jax.Array
+    u_finite: jax.Array
+
+    @property
+    def dtype(self):
+        return self.q.dtype
+
+    def zeros_primal(self):
+        return jnp.zeros((self.Q.shape[-1],), self.dtype)
+
+    def zeros_dual(self):
+        return jnp.zeros((self.A.shape[0],), self.dtype)
+
+    def _mv(self, M, x, dtype):
+        if dtype is not None and jnp.dtype(dtype) != self.dtype:
+            from jax.experimental import sparse as jsparse
+            Mk = jsparse.BCOO((M.data.astype(dtype), M.indices),
+                              shape=M.shape, indices_sorted=M.indices_sorted,
+                              unique_indices=M.unique_indices)
+            return (Mk @ x.astype(dtype)).astype(self.dtype)
+        return M @ x
+
+    def Qmv(self, x, dtype=None):
+        return self._mv(self.Q, x, dtype)
+
+    def Amv(self, x, dtype=None):
+        return self._mv(self.A, x, dtype)
+
+    def Atmv(self, y, dtype=None):
+        return self._mv(self.At, y, dtype)
+
+    def Amv2(self, xa, xb):
+        AV = self.A @ jnp.stack([xa, xb], axis=-1)
+        return AV[..., 0], AV[..., 1]
+
+    def Atmv2(self, ya, yb):
+        AtV = self.At @ jnp.stack([ya, yb], axis=-1)
+        return AtV[..., 0], AtV[..., 1]
+
+    def diag_K(self, active, mu, sigma, proximal: bool):
+        """diag(K) in O(nnz) without forming K: diag(Q) + sigma +
+        sum_i (active_i/mu_i) * A_{ij}^2 per column j."""
+        w = active / mu
+        rows = self.A.indices[:, 0]
+        cols = self.A.indices[:, 1]
+        d = jnp.zeros_like(self.diagQ).at[cols].add(
+            w[rows] * jnp.square(self.A.data))
+        d = d + self.diagQ
+        if proximal:
+            d = d + sigma
+        return d
+
+    def newton_solve(self, active, mu, sigma, rhs, settings: Settings):
+        """Matrix-free CG on K dx = rhs (replaces the factorization event
+        of newton.c:21-49 for problems too large to densify)."""
+        from .ops.cg import pcg
+
+        w = active / mu
+        proximal = settings.proximal
+
+        def Kmv(v):
+            Kv = self.Q @ v + self.At @ (w * (self.A @ v))
+            if proximal:
+                Kv = Kv + sigma * v
+            return Kv
+
+        d = self.diag_K(active, mu, sigma, proximal)
+        dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 1.0)
+        dx, _, _ = pcg(Kmv, rhs, dinv, settings.cg_tol, settings.cg_max_iter)
+        # NaN guard, mirroring the dense path (ops/linalg.py:141-145)
+        finite = jnp.all(jnp.isfinite(dx))
+        return jnp.where(finite, dx, jnp.zeros_like(dx))
+
+    def cast(self, dtype) -> "SparseOperator":
+        from_dt = self.dtype
+        from jax.experimental import sparse as jsparse
+
+        def cast_leaf(a):
+            return a.astype(dtype) if a.dtype == from_dt else a
+
+        def cast_bcoo(M):
+            return jsparse.BCOO((M.data.astype(dtype), M.indices),
+                                shape=M.shape,
+                                indices_sorted=M.indices_sorted,
+                                unique_indices=M.unique_indices)
+
+        return SparseOperator(
+            Q=cast_bcoo(self.Q), A=cast_bcoo(self.A), At=cast_bcoo(self.At),
+            **{f: cast_leaf(getattr(self, f))
+               for f in ("diagQ", "q", "l", "u", "c", "D", "Dinv", "E",
+                         "Einv", "cost", "cinv", "l_finite", "u_finite")})

@@ -1,0 +1,69 @@
+"""Preconditioned conjugate gradients for the Newton system.
+
+The large-n replacement of the reference's sparse LDL' factorization
+(src/cholmod_interface.c:8-52): Maros-Mészáros instances run up to
+n ~ 90k, where dense O(n^2) storage and O(n^3) factorization stop scaling.
+The semismooth-Newton KKT matrix
+
+    K = Q + sigma*I + A' diag(active/mu) A
+
+is SPD by construction (README.md:12), so CG applies without safeguards;
+each iteration costs two sparse matvecs (Av, A'(w o Av)) plus one Qv —
+O(nnz) — and the Jacobi preconditioner diag(K) is available in O(nnz)
+without forming K.  This keeps the whole solve matrix-free: K is never
+materialized (the TPU-native analogue of CHOLMOD's fill-reducing sparse
+factorization, traded for iteration count).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def pcg(matvec: Callable, rhs, precond_diag_inv, tol: float,
+        max_iter: int, x0=None):
+    """Solve K x = rhs with Jacobi-preconditioned CG.
+
+    ``tol`` is relative: terminate when ||r||_2 <= tol * ||rhs||_2.
+    ``precond_diag_inv`` is 1/diag(K).  Static iteration cap ``max_iter``
+    with early exit via ``lax.while_loop`` — jit-safe, vmappable
+    (lock-step across a batch, converged members take no-op iterations).
+    Returns (x, iters, rel_res).
+    """
+    dt = rhs.dtype
+    rhs_norm = jnp.linalg.norm(rhs)
+    tol_abs = jnp.asarray(tol, dt) * jnp.maximum(rhs_norm,
+                                                 jnp.asarray(1e-30, dt))
+
+    x = jnp.zeros_like(rhs) if x0 is None else x0
+    r = rhs - matvec(x) if x0 is not None else rhs
+    z = precond_diag_inv * r
+    p = z
+    rz = jnp.dot(r, z)
+
+    def cond(carry):
+        x, r, p, rz, k = carry
+        return (jnp.linalg.norm(r) > tol_abs) & (k < max_iter)
+
+    def body(carry):
+        x, r, p, rz, k = carry
+        Kp = matvec(p)
+        pKp = jnp.dot(p, Kp)
+        # guard: pKp can only vanish at exact convergence (K SPD)
+        alpha = rz / jnp.where(pKp > 0, pKp, 1.0)
+        alpha = jnp.where(pKp > 0, alpha, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Kp
+        z = precond_diag_inv * r
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / jnp.where(rz > 0, rz, 1.0)
+        p = z + jnp.where(rz > 0, beta, 0.0) * p
+        return x, r, p, rz_new, k + 1
+
+    x, r, _, _, k = jax.lax.while_loop(
+        cond, body, (x, r, p, rz, jnp.asarray(0, jnp.int32)))
+    rel = jnp.linalg.norm(r) / jnp.maximum(rhs_norm, jnp.asarray(1e-30, dt))
+    return x, k, rel

@@ -121,6 +121,14 @@ class Settings:
     # iteration — identical results, avoids the 2m-element sort; the right
     # choice when constraint rows are sharded over devices).
     linesearch: str = "sort"
+    # --- large-n sparse path (SparseOperator, ops/cg.py) ---
+    # Relative residual tolerance of the preconditioned-CG Newton solve
+    # (the matrix-free replacement of the sparse LDL' factorization,
+    # cholmod_interface.c:8-52).  Plays the role refine_steps plays on the
+    # dense path: tight enough that the inner loop can reach eps_in.
+    cg_tol: float = 1e-8
+    # Static CG iteration cap (early exit on convergence).
+    cg_max_iter: int = 500
     # Matmul precision for the float32 warmup phase only (it targets
     # warmup_eps ~ 1e-3, so "tensorfloat32" 3-pass arithmetic can be a
     # faster choice than "highest" on TPU).

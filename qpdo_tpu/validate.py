@@ -76,3 +76,7 @@ def validate_settings(s: Settings) -> None:
         raise ValueError("reset_newton_iter must be nonnegative")
     if s.refine_steps < 0:
         raise ValueError("refine_steps must be nonnegative")
+    if s.cg_tol <= 0:
+        raise ValueError("cg_tol must be positive")
+    if s.cg_max_iter <= 0:
+        raise ValueError("cg_max_iter must be positive")

@@ -1,0 +1,333 @@
+"""Maros-Mészáros-faithful benchmark suite (offline stand-in).
+
+The reference method's headline benchmark is the Maros-Mészáros suite
+(reference README.md:11-24 cites De Marchi 2022, which reports
+solved-within-tolerance rates vs OSQP/QPALM).  The real QPS files are not
+available in this offline environment (they drop in via ``QPDO_MM_DIR``,
+see run.py:bench_maros) — this module reproduces the *suite's
+distribution* instead, so a solved-rate at eps 1e-6 over >= 50 instances
+is measured against problems with the same structural pathologies:
+
+- **CVXQP-like**:   sparse SPD Q (band + off-band), equality-heavy
+                    (m_eq = n/2 or n/4), box bounds; n up to 10,000.
+- **LISWET-like**:  least-squares objective (Q = I + eps), n-2 one-sided
+                    "wedge" second-difference constraints; n up to 10,000.
+- **AUG2D-like**:   grid-Laplacian equality constraints, diagonal Q,
+                    singular blocks (rank-deficient Q on half the grid).
+- **QBAND-like**:   banded rank-deficient Q, box bounds, active-set-heavy.
+- **DUAL-like**:    small dense ill-conditioned Q (cond ~ 1e6), simplex
+                    constraint + bounds.
+- **HS-like**:      tiny dense problems (n <= 20), mixed senses.
+- **SCALE-stress**: any of the above with rows/cols scaled by 10^{+-4}
+                    (exercises Ruiz equilibration, scaling.c:36-88).
+- **DEGEN**:        duplicated equality rows (rank-deficient A),
+                    fixed variables (l = u).
+
+Usage:  python benchmarks/mm_like.py [--count N] [--max-n N] [--qps-dir D]
+Prints one JSON line per family and a final summary line; exits nonzero
+if the overall solved rate is below 0.9.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import scipy.sparse as sps
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# ---------------------------------------------------------------------------
+# Instance generators (each returns (name, Q, q, A, l, u) with sparse Q/A)
+# ---------------------------------------------------------------------------
+
+def gen_cvxqp(rng, n, eq_frac):
+    """CVXQP{1,2,3}-style: sparse SPD Q, m = eq_frac*n equality rows."""
+    m = max(1, int(n * eq_frac))
+    diag = 1.0 + rng.random(n)
+    off = sps.diags(0.3 * rng.standard_normal(n - 1), 1, shape=(n, n))
+    far = sps.random(n, n, density=min(2.0 / n, 0.05), random_state=rng.integers(2**31))
+    Qh = off + 0.1 * far
+    Q = (sps.diags(diag) + Qh + Qh.T).tocsr()
+    # make strictly diagonally dominant -> PSD
+    rowsum = np.abs(Q).sum(axis=1).A.ravel() - np.abs(Q.diagonal())
+    Q = (Q + sps.diags(np.maximum(rowsum - Q.diagonal() + 0.1, 0.0))).tocsr()
+    A = sps.random(m, n, density=min(6.0 / n, 0.5), random_state=rng.integers(2**31),
+                   data_rvs=rng.standard_normal).tocsr()
+    # ensure no empty rows
+    A = A + sps.csr_matrix((rng.standard_normal(m),
+                            (np.arange(m), rng.integers(0, n, m))), shape=(m, n))
+    x_feas = rng.standard_normal(n) * 0.5
+    b = A @ x_feas
+    # equality rows + box bounds on variables
+    I = sps.eye(n, format="csr")
+    A_full = sps.vstack([A, I]).tocsr()
+    l = np.concatenate([b, -2.0 * np.ones(n)])
+    u = np.concatenate([b, 2.0 * np.ones(n)])
+    q = rng.standard_normal(n)
+    return Q, q, A_full, l, u
+
+
+def gen_liswet(rng, n):
+    """LISWET-style: min 0.5||x - d||^2 s.t. x_{i} - 2x_{i+1} + x_{i+2} >= 0."""
+    Q = sps.eye(n, format="csr") * (1.0 + 1e-3)
+    t = np.linspace(0, 1, n)
+    d = np.sin(4 * np.pi * t) + 0.1 * rng.standard_normal(n)
+    q = -d
+    m = n - 2
+    rows = np.repeat(np.arange(m), 3)
+    cols = (np.arange(m)[:, None] + np.array([0, 1, 2])[None, :]).ravel()
+    vals = np.tile(np.array([1.0, -2.0, 1.0]), m)
+    A = sps.csr_matrix((vals, (rows, cols)), shape=(m, n))
+    l = np.zeros(m)
+    u = np.full(m, np.inf)
+    return Q, q, A, l, u
+
+
+def gen_aug2d(rng, k):
+    """AUG2D-style: k*k grid Laplacian equality constraints, diagonal Q
+    rank-deficient on half the variables."""
+    n = k * k
+    diag = np.where(rng.random(n) < 0.5, 1.0, 0.0) + 1e-6
+    Q = sps.diags(diag).tocsr()
+    # 5-point Laplacian rows as equalities on interior points
+    idx = lambda i, j: i * k + j
+    rows, cols, vals, b = [], [], [], []
+    r = 0
+    for i in range(1, k - 1):
+        for j in range(1, k - 1):
+            rows += [r] * 5
+            cols += [idx(i, j), idx(i - 1, j), idx(i + 1, j),
+                     idx(i, j - 1), idx(i, j + 1)]
+            vals += [4.0, -1.0, -1.0, -1.0, -1.0]
+            b.append(rng.standard_normal() * 0.1)
+            r += 1
+    A = sps.csr_matrix((vals, (rows, cols)), shape=(r, n))
+    I = sps.eye(n, format="csr")
+    A_full = sps.vstack([A, I]).tocsr()
+    b = np.asarray(b)
+    l = np.concatenate([b, -5.0 * np.ones(n)])
+    u = np.concatenate([b, 5.0 * np.ones(n)])
+    q = rng.standard_normal(n) * 0.1
+    return Q, q, A_full, l, u
+
+
+def gen_qband(rng, n, bw=5):
+    """Banded rank-deficient Q (Gram of a band matrix), box bounds."""
+    bands = [rng.standard_normal(n - abs(o)) for o in range(bw)]
+    Bm = sps.diags(bands, offsets=list(range(bw)), shape=(n, n))
+    Q = (Bm.T @ Bm).tocsr()          # rank-deficient possible, PSD
+    q = rng.standard_normal(n)
+    I = sps.eye(n, format="csr")
+    l = -np.ones(n)
+    u = np.ones(n)
+    return Q, q, I, l, u
+
+
+def gen_dual(rng, n):
+    """DUALC-style: small dense ill-conditioned Q, simplex + bounds."""
+    U = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    ev = np.logspace(-6, 0, n)
+    Q = sps.csr_matrix(U @ np.diag(ev) @ U.T)
+    q = rng.standard_normal(n) * 0.1
+    ones = sps.csr_matrix(np.ones((1, n)))
+    I = sps.eye(n, format="csr")
+    A = sps.vstack([ones, I]).tocsr()
+    l = np.concatenate([[1.0], np.zeros(n)])
+    u = np.concatenate([[1.0], np.ones(n)])
+    return Q, q, A, l, u
+
+
+def gen_hs(rng, n):
+    """HS-style tiny dense problems with mixed senses."""
+    M = rng.standard_normal((n, n))
+    Q = sps.csr_matrix(M @ M.T / n + 0.01 * np.eye(n))
+    q = rng.standard_normal(n)
+    m = max(2, n // 2)
+    A = sps.csr_matrix(rng.standard_normal((m, n)))
+    l = -rng.random(m) - 0.1
+    u = rng.random(m) + 0.1
+    sense = rng.integers(0, 3, m)
+    l = np.where(sense == 1, -np.inf, l)
+    u = np.where(sense == 2, np.inf, u)
+    keep = ~(np.isinf(l) & np.isinf(u))
+    if not keep.all():
+        A, l, u = A[keep], l[keep], u[keep]
+    return Q, q, A, np.minimum(l, u), np.maximum(l, u)
+
+
+def apply_scale_stress(rng, Q, q, A, l, u):
+    """Scale columns/rows by 10^{+-4}: the Ruiz equilibration stress."""
+    n = Q.shape[0]
+    m = A.shape[0]
+    dc = 10.0 ** rng.uniform(-4, 4, n)
+    dr = 10.0 ** rng.uniform(-2, 2, m)
+    Dc = sps.diags(dc)
+    Dr = sps.diags(dr)
+    # substituting x = Dc z: Q<-DcQDc, q<-Dc q, A<-Dr A Dc, bounds<-Dr l/u
+    return ((Dc @ Q @ Dc).tocsr(), dc * q, (Dr @ A @ Dc).tocsr(),
+            dr * l, dr * u)
+
+
+def apply_degeneracy(rng, Q, q, A, l, u):
+    """Duplicate 20% of rows (rank-deficient A) and fix 5% of variables."""
+    m, n = A.shape
+    k = max(1, m // 5)
+    pick = rng.integers(0, m, k)
+    A2 = sps.vstack([A, A[pick]]).tocsr()
+    l2 = np.concatenate([l, l[pick]])
+    u2 = np.concatenate([u, u[pick]])
+    nfix = max(1, n // 20)
+    vfix = rng.integers(0, n, nfix)
+    vals = rng.standard_normal(nfix) * 0.1
+    F = sps.csr_matrix((np.ones(nfix), (np.arange(nfix), vfix)), shape=(nfix, n))
+    return Q, q, sps.vstack([A2, F]).tocsr(), \
+        np.concatenate([l2, vals]), np.concatenate([u2, vals])
+
+
+def build_suite(rng, max_n):
+    """~60 instances spanning the MM size/structure distribution."""
+    suite = []
+
+    def add(family, gen, *args, stress=None):
+        Q, q, A, l, u = gen(rng, *args)
+        if stress == "scale":
+            Q, q, A, l, u = apply_scale_stress(rng, Q, q, A, l, u)
+        elif stress == "degen":
+            Q, q, A, l, u = apply_degeneracy(rng, Q, q, A, l, u)
+        name = f"{family}{len(suite):03d}"
+        suite.append((name, family, Q, q, A, l, u))
+
+    for n in (50, 200, 500, 1000, 2500, 5000, 10000):
+        if n > max_n:
+            continue
+        add("CVXQP1", gen_cvxqp, n, 0.5)
+        add("CVXQP2", gen_cvxqp, n, 0.25)
+    for n in (500, 2000, 5000, 10000):
+        if n > max_n:
+            continue
+        add("LISWET", gen_liswet, n)
+    for k in (8, 16, 32, 64):
+        if k * k > max_n:
+            continue
+        add("AUG2D", gen_aug2d, k)
+    for n in (100, 1000, 5000):
+        if n > max_n:
+            continue
+        add("QBAND", gen_qband, n)
+    for n in (10, 30, 85, 200):
+        add("DUALC", gen_dual, n)
+    for n in (3, 5, 10, 20):
+        add("HS", gen_hs, n)
+    # stressed variants
+    for n in (100, 1000, 5000):
+        if n > max_n:
+            continue
+        add("CVXQP1S", gen_cvxqp, n, 0.5, stress="scale")
+        add("QBANDS", gen_qband, n, stress="scale")
+    for n in (100, 1000):
+        if n > max_n:
+            continue
+        add("CVXQP1D", gen_cvxqp, n, 0.5, stress="degen")
+        add("HSD", gen_hs, min(n, 20), stress="degen")
+    return suite
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--count", type=int, default=0,
+                    help="truncate the suite (0 = all)")
+    ap.add_argument("--max-n", type=int,
+                    default=int(os.environ.get("QPDO_MM_MAX_N", 10000)))
+    ap.add_argument("--qps-roundtrip", type=int, default=3,
+                    help="additionally round-trip this many instances "
+                         "through QPS files (full ingest pipeline)")
+    ap.add_argument("--eps", type=float, default=1e-6)
+    args = ap.parse_args(argv)
+
+    import jax
+    # Correctness metric, not throughput: run CPU/f64 (fast compiles).
+    # The axon TPU pins itself via sitecustomize, so override in-process;
+    # set QPDO_MM_TPU=1 to run on the attached TPU instead.
+    if not os.environ.get("QPDO_MM_TPU"):
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import qpdo_tpu as qt
+
+    rng = np.random.default_rng(42)
+    suite = build_suite(rng, args.max_n)
+    if args.count:
+        suite = suite[: args.count]
+
+    settings = qt.Settings(eps_abs=args.eps, max_iter=4000,
+                           inner_max_iter=100, eps_abs_in=0.1,
+                           rho=0.02, delta=0.1)
+
+    per_family = {}
+    rows = []
+    t_suite = time.perf_counter()
+    for name, family, Q, q, A, l, u in suite:
+        t0 = time.perf_counter()
+        res = qt.solve_sparse(Q, q, A, l, u, settings=settings)
+        st = int(res.info.status_val)
+        dt = time.perf_counter() - t0
+        ok = st == qt.SOLVED
+        # independent KKT oracle (demo_mex.m:39-42): trust but verify
+        if ok:
+            x, y = np.asarray(res.x), np.asarray(res.y)
+            rp = np.max(np.abs(A @ x - np.clip(A @ x + y, l, u)))
+            rd = np.max(np.abs(Q @ x + q + A.T @ y))
+            ok = bool(rp < 10 * args.eps and rd < 10 * args.eps)
+        f = per_family.setdefault(family, [0, 0])
+        f[0] += ok
+        f[1] += 1
+        rows.append({"name": name, "n": Q.shape[0], "m": A.shape[0],
+                     "status": st, "verified": ok,
+                     "iters": int(res.info.iterations), "time_s": round(dt, 2)})
+        print(json.dumps(rows[-1]), flush=True)
+
+    # QPS round-trip on a few instances: write -> native parse -> solve
+    qps_ok = 0
+    if args.qps_roundtrip:
+        import tempfile
+        from qpdo_tpu.io import write_qps, read_qps, to_problem
+        try:
+            from qpdo_tpu.native import read_qps_native as reader
+        except Exception:
+            reader = read_qps
+        small = [s for s in suite if s[2].shape[0] <= 500][: args.qps_roundtrip]
+        with tempfile.TemporaryDirectory() as d:
+            for name, family, Q, q, A, l, u in small:
+                p = qt.make_problem(np.asarray(Q.todense()), q,
+                                    np.asarray(A.todense()), l, u)
+                path = os.path.join(d, f"{name}.qps")
+                write_qps(p, path, name=name)
+                p2 = to_problem(reader(path))
+                res = qt.solve(p2, settings=settings)
+                qps_ok += int(res.info.status_val) == qt.SOLVED
+
+    total = len(rows)
+    solved = sum(r["verified"] for r in rows)
+    summary = {
+        "suite": "mm_like",
+        "instances": total,
+        "solved_verified": solved,
+        "solve_rate": round(solved / max(total, 1), 4),
+        "eps": args.eps,
+        "max_n": max(r["n"] for r in rows),
+        "total_time_s": round(time.perf_counter() - t_suite, 1),
+        "qps_roundtrip_solved": qps_ok,
+        "per_family": {k: f"{v[0]}/{v[1]}" for k, v in
+                       sorted(per_family.items())},
+    }
+    print(json.dumps(summary), flush=True)
+    return 0 if summary["solve_rate"] >= 0.9 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

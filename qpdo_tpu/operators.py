@@ -336,3 +336,145 @@ class SparseOperator(NamedTuple):
             **{f: cast_leaf(getattr(self, f))
                for f in ("diagQ", "q", "l", "u", "c", "D", "Dinv", "E",
                          "Einv", "cost", "cinv", "l_finite", "u_finite")})
+
+
+# ---------------------------------------------------------------------------
+# Block-angular operator (scenario-structured / tensor-parallel path)
+# ---------------------------------------------------------------------------
+
+class BlockAngularOperator(NamedTuple):
+    """Scenario-structured (block-angular) QP with arrow-KKT Newton solves.
+
+    Problems  min 0.5 x0'Q0 x0 + sum_s 0.5 xs'Qs xs + q0'x0 + sum_s qs'xs
+              s.t.  l_s <= T_s x0 + W_s x_s <= u_s
+    (two-stage stochastic programs, scenario MPC).  The semismooth-Newton
+    KKT matrix is exactly arrow-structured, so every Newton solve is a
+    Schur complement over scenario-local Cholesky factorizations
+    (ops/schur.py algebra) — shard the leading S axis of the leaves over a
+    ``jax.sharding.Mesh`` and XLA inserts one psum per Newton iteration.
+
+    Primal vectors are ``(x0, xs)`` tuples with shapes ((n0,), (S, ns));
+    dual vectors are single (S, ms) arrays.  Build scaled via
+    ``solver.structured.scale_block_angular``.  No reference equivalent
+    (the reference is single-threaded); algorithm semantics are the
+    generic core's, which cites the reference line-by-line.
+    """
+
+    Q0: jax.Array    # (n0, n0)
+    Qs: jax.Array    # (S, ns, ns)
+    T: jax.Array     # (S, ms, n0)
+    W: jax.Array     # (S, ms, ns)
+    q: Any           # (q0 (n0,), qs (S, ns))
+    l: jax.Array     # (S, ms)
+    u: jax.Array     # (S, ms)
+    c: jax.Array     # scalar
+    D: Any           # (D0, Ds)
+    Dinv: Any
+    E: jax.Array     # (S, ms)
+    Einv: jax.Array
+    cost: jax.Array
+    cinv: jax.Array
+    l_finite: jax.Array
+    u_finite: jax.Array
+
+    @property
+    def dtype(self):
+        return self.Q0.dtype
+
+    def zeros_primal(self):
+        S, ms, n0 = self.T.shape
+        ns = self.W.shape[-1]
+        return (jnp.zeros((n0,), self.dtype), jnp.zeros((S, ns), self.dtype))
+
+    def zeros_dual(self):
+        S, ms, _ = self.T.shape
+        return jnp.zeros((S, ms), self.dtype)
+
+    def _cast_mats(self, dtype):
+        if dtype is None or jnp.dtype(dtype) == self.dtype:
+            return self.Q0, self.Qs, self.T, self.W, None
+        to = lambda a: a.astype(dtype)
+        return to(self.Q0), to(self.Qs), to(self.T), to(self.W), dtype
+
+    def Qmv(self, x, dtype=None):
+        Q0, Qs, _, _, kdt = self._cast_mats(dtype)
+        x0, xs = x
+        if kdt is not None:
+            x0, xs = x0.astype(kdt), xs.astype(kdt)
+        r0 = Q0 @ x0
+        rs = jnp.einsum("sij,sj->si", Qs, xs)
+        if kdt is not None:
+            r0, rs = r0.astype(self.dtype), rs.astype(self.dtype)
+        return (r0, rs)
+
+    def Amv(self, x, dtype=None):
+        _, _, T, W, kdt = self._cast_mats(dtype)
+        x0, xs = x
+        if kdt is not None:
+            x0, xs = x0.astype(kdt), xs.astype(kdt)
+        r = (jnp.einsum("smn,n->sm", T, x0)
+             + jnp.einsum("smk,sk->sm", W, xs))
+        return r.astype(self.dtype) if kdt is not None else r
+
+    def Atmv(self, y, dtype=None):
+        _, _, T, W, kdt = self._cast_mats(dtype)
+        yk = y.astype(kdt) if kdt is not None else y
+        r0 = jnp.einsum("smn,sm->n", T, yk)
+        rs = jnp.einsum("smk,sm->sk", W, yk)
+        if kdt is not None:
+            r0, rs = r0.astype(self.dtype), rs.astype(self.dtype)
+        return (r0, rs)
+
+    def Amv2(self, xa, xb):
+        X0 = jnp.stack([xa[0], xb[0]], axis=-1)        # (n0, 2)
+        Xs = jnp.stack([xa[1], xb[1]], axis=-1)        # (S, ns, 2)
+        R = (jnp.einsum("smn,nk->smk", self.T, X0)
+             + jnp.einsum("smj,sjk->smk", self.W, Xs))  # (S, ms, 2)
+        return R[..., 0], R[..., 1]
+
+    def Atmv2(self, ya, yb):
+        Y = jnp.stack([ya, yb], axis=-1)               # (S, ms, 2)
+        R0 = jnp.einsum("smn,smk->nk", self.T, Y)      # (n0, 2)
+        Rs = jnp.einsum("smj,smk->sjk", self.W, Y)     # (S, ns, 2)
+        return (R0[..., 0], Rs[..., 0]), (R0[..., 1], Rs[..., 1])
+
+    def newton_solve(self, active, mu, sigma, rhs, settings: Settings):
+        """Arrow-KKT Schur-complement solve (ops/schur.py algebra, inlined
+        so XLA can shard the S axis; one all-reduce per call)."""
+        from .ops.linalg import cholesky_solve
+
+        r0, rs = rhs
+        w = active / mu                                # (S, ms)
+        n0 = self.Q0.shape[0]
+        ns = self.W.shape[-1]
+        dt = self.dtype
+        refine = settings.refine_steps
+        wT = w[..., None] * self.T                     # (S, ms, n0)
+        wW = w[..., None] * self.W
+        K00 = self.Q0 + jnp.einsum("smn,smk->nk", self.T, wT)
+        Kss = self.Qs + jnp.einsum("smi,smj->sij", self.W, wW)
+        Bs = jnp.einsum("smi,smj->sij", self.W, wT)    # (S, ns, n0)
+        if settings.proximal:
+            K00 = K00 + sigma * jnp.eye(n0, dtype=dt)
+            Kss = Kss + sigma * jnp.eye(ns, dtype=dt)
+
+        def local(Kb, Bb, rb):
+            rhs_b = jnp.concatenate([Bb, rb[:, None]], axis=1)
+            sol = cholesky_solve(Kb, rhs_b, refine)
+            return (Bb.T @ sol[:, :-1], Bb.T @ sol[:, -1],
+                    sol[:, :-1], sol[:, -1])
+
+        SB, Sr, KinvB, Kinvr = jax.vmap(local)(Kss, Bs, rs)
+        S0 = K00 - jnp.sum(SB, axis=0)                 # psum over S
+        rhs0 = r0 - jnp.sum(Sr, axis=0)
+        dx0 = cholesky_solve(S0, rhs0, refine)
+        dxs = Kinvr - jnp.einsum("sij,j->si", KinvB, dx0)
+        # factorization-failure guard, mirroring the dense path
+        finite = jnp.all(jnp.isfinite(dx0)) & jnp.all(jnp.isfinite(dxs))
+        return (jnp.where(finite, dx0, jnp.zeros_like(dx0)),
+                jnp.where(finite, dxs, jnp.zeros_like(dxs)))
+
+    def cast(self, dtype) -> "BlockAngularOperator":
+        from_dt = self.dtype
+        return jax.tree.map(
+            lambda a: a.astype(dtype) if a.dtype == from_dt else a, self)

@@ -93,7 +93,9 @@ def solve_sparse(Q, q, A, l, u, c=0.0,
 
     settings = settings or Settings()
     validate_settings(settings)
-    op = setup_sparse(Q, q, A, l, u, c, settings.scaling, dtype)
+    op = setup_sparse(Q, q, A, l, u, c, settings.scaling, dtype,
+                      precond=settings.precond,
+                      precond_block=settings.precond_block)
     if x0 is not None:
         x0 = jnp.asarray(x0, op.dtype)
     if y0 is not None:

@@ -198,7 +198,8 @@ class DenseOperator(NamedTuple):
         return AtV[..., 0], AtV[..., 1]
 
     # -- Newton system solve (the factorization event, newton.c:21-49) --
-    def newton_solve(self, active, mu, sigma, rhs, settings: Settings):
+    def newton_solve(self, active, mu, sigma, rhs, settings: Settings,
+                     dx_prev=None):
         from .ops.linalg import newton_system_solve
         d = self.sp.data
         return newton_system_solve(d.Q, d.A, active, mu, sigma, rhs,
@@ -247,6 +248,13 @@ class SparseOperator(NamedTuple):
     cinv: jax.Array
     l_finite: jax.Array
     u_finite: jax.Array
+    # Optional block-Jacobi preconditioner index maps, precomputed from the
+    # sparsity pattern at setup (None -> plain Jacobi):
+    #   pjA = (t1, t2, rows, blk, o1, o2): same-row same-block nonzero
+    #         pairs of A -> w-weighted outer-product contributions
+    #   pjQ = (t, blk, o1, o2): Q entries inside diagonal blocks
+    pjA: Any = None
+    pjQ: Any = None
 
     @property
     def dtype(self):
@@ -297,9 +305,55 @@ class SparseOperator(NamedTuple):
             d = d + sigma
         return d
 
-    def newton_solve(self, active, mu, sigma, rhs, settings: Settings):
-        """Matrix-free CG on K dx = rhs (replaces the factorization event
-        of newton.c:21-49 for problems too large to densify)."""
+    def _block_jacobi_apply(self, w, sigma, dinv_jacobi, settings: Settings):
+        """Build the block-diagonal of K matrix-free and return the
+        preconditioner apply r -> M^{-1} r.
+
+        The block diagonal is assembled by scatter-adds over precomputed
+        same-row/same-block nonzero pairs (pjA) plus Q's in-block entries
+        (pjQ), then factored with one *batched* dense Cholesky — the
+        TPU-native answer to incomplete factorizations, which are
+        inherently sequential.  Blocks whose Cholesky fails (numerically
+        semidefinite) fall back to Jacobi rows."""
+        b = settings.precond_block
+        n = self.Q.shape[-1]
+        nb = -(-n // b)
+        dt = self.dtype
+        t1, t2, rows_p, blk, o1, o2 = self.pjA
+        vals = self.A.data[t1] * self.A.data[t2] * w[rows_p]
+        B = jnp.zeros((nb, b, b), dt).at[blk, o1, o2].add(vals)
+        tq, qblk, qo1, qo2 = self.pjQ
+        B = B.at[qblk, qo1, qo2].add(self.Q.data[tq])
+        idx = jnp.arange(b)
+        diag = B[:, idx, idx]
+        shift = sigma if settings.proximal else jnp.asarray(0.0, dt)
+        # lift exactly-zero diagonals (padded tail / untouched variables)
+        bump = jnp.where(diag + shift > 0, shift, shift + 1.0)
+        B = B.at[:, idx, idx].add(bump)
+        chol = jnp.linalg.cholesky(B)
+        ok = jnp.all(jnp.isfinite(chol), axis=(-2, -1))        # (nb,)
+        pad = nb * b - n
+        dj = jnp.concatenate([dinv_jacobi, jnp.ones((pad,), dt)]) \
+            if pad else dinv_jacobi
+
+        def apply(r):
+            rp = jnp.concatenate([r, jnp.zeros((pad,), dt)]) if pad else r
+            rb = rp.reshape(nb, b, 1)
+            z = jax.scipy.linalg.solve_triangular(chol, rb, lower=True)
+            z = jax.scipy.linalg.solve_triangular(chol, z, lower=True,
+                                                  trans=1)[..., 0]
+            zj = dj.reshape(nb, b) * rb[..., 0]
+            z = jnp.where(ok[:, None], z, zj)
+            return z.reshape(-1)[:n] if pad else z.reshape(-1)
+
+        return apply
+
+    def newton_solve(self, active, mu, sigma, rhs, settings: Settings,
+                     dx_prev=None):
+        """Matrix-free CG on K dx = rhs, warm-started from the previous
+        Newton direction (the systems change slowly across iterations;
+        replaces the factorization event of newton.c:21-49 for problems
+        too large to densify)."""
         from .ops.cg import pcg
 
         w = active / mu
@@ -313,7 +367,12 @@ class SparseOperator(NamedTuple):
 
         d = self.diag_K(active, mu, sigma, proximal)
         dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 1.0)
-        dx, _, _ = pcg(Kmv, rhs, dinv, settings.cg_tol, settings.cg_max_iter)
+        if settings.precond == "block_jacobi" and self.pjA is not None:
+            precond = self._block_jacobi_apply(w, sigma, dinv, settings)
+        else:
+            precond = dinv
+        dx, _, _ = pcg(Kmv, rhs, precond, settings.cg_tol,
+                       settings.cg_max_iter, x0=dx_prev)
         # NaN guard, mirroring the dense path (ops/linalg.py:141-145)
         finite = jnp.all(jnp.isfinite(dx))
         return jnp.where(finite, dx, jnp.zeros_like(dx))
@@ -333,6 +392,7 @@ class SparseOperator(NamedTuple):
 
         return SparseOperator(
             Q=cast_bcoo(self.Q), A=cast_bcoo(self.A), At=cast_bcoo(self.At),
+            pjA=self.pjA, pjQ=self.pjQ,
             **{f: cast_leaf(getattr(self, f))
                for f in ("diagQ", "q", "l", "u", "c", "D", "Dinv", "E",
                          "Einv", "cost", "cinv", "l_finite", "u_finite")})
@@ -438,7 +498,8 @@ class BlockAngularOperator(NamedTuple):
         Rs = jnp.einsum("smj,smk->sjk", self.W, Y)     # (S, ns, 2)
         return (R0[..., 0], Rs[..., 0]), (R0[..., 1], Rs[..., 1])
 
-    def newton_solve(self, active, mu, sigma, rhs, settings: Settings):
+    def newton_solve(self, active, mu, sigma, rhs, settings: Settings,
+                     dx_prev=None):
         """Arrow-KKT Schur-complement solve (ops/schur.py algebra, inlined
         so XLA can shard the S axis; one all-reduce per call)."""
         from .ops.linalg import cholesky_solve

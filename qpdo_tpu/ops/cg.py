@@ -23,16 +23,20 @@ import jax
 import jax.numpy as jnp
 
 
-def pcg(matvec: Callable, rhs, precond_diag_inv, tol: float,
+def pcg(matvec: Callable, rhs, precond, tol: float,
         max_iter: int, x0=None):
-    """Solve K x = rhs with Jacobi-preconditioned CG.
+    """Solve K x = rhs with preconditioned CG.
 
     ``tol`` is relative: terminate when ||r||_2 <= tol * ||rhs||_2.
-    ``precond_diag_inv`` is 1/diag(K).  Static iteration cap ``max_iter``
-    with early exit via ``lax.while_loop`` — jit-safe, vmappable
-    (lock-step across a batch, converged members take no-op iterations).
-    Returns (x, iters, rel_res).
+    ``precond`` is either 1/diag(K) (Jacobi) or a callable r -> M^{-1} r
+    (e.g. the batched block-Jacobi apply).  Static iteration cap
+    ``max_iter`` with early exit via ``lax.while_loop`` — jit-safe,
+    vmappable (lock-step across a batch, converged members take no-op
+    iterations).  Returns (x, iters, rel_res).
     """
+    if not callable(precond):
+        diag_inv = precond
+        precond = lambda r: diag_inv * r
     dt = rhs.dtype
     rhs_norm = jnp.linalg.norm(rhs)
     tol_abs = jnp.asarray(tol, dt) * jnp.maximum(rhs_norm,
@@ -40,7 +44,7 @@ def pcg(matvec: Callable, rhs, precond_diag_inv, tol: float,
 
     x = jnp.zeros_like(rhs) if x0 is None else x0
     r = rhs - matvec(x) if x0 is not None else rhs
-    z = precond_diag_inv * r
+    z = precond(r)
     p = z
     rz = jnp.dot(r, z)
 
@@ -57,7 +61,7 @@ def pcg(matvec: Callable, rhs, precond_diag_inv, tol: float,
         alpha = jnp.where(pKp > 0, alpha, 0.0)
         x = x + alpha * p
         r = r - alpha * Kp
-        z = precond_diag_inv * r
+        z = precond(r)
         rz_new = jnp.dot(r, z)
         beta = rz_new / jnp.where(rz > 0, rz, 1.0)
         p = z + jnp.where(rz > 0, beta, 0.0) * p

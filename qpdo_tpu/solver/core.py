@@ -130,7 +130,8 @@ def init_state(op, settings: Settings,
     zero = jnp.asarray(0.0, dt)
     i0 = jnp.asarray(0, jnp.int32)
     return SolverState(
-        x=x, y=y, Qx=Qx, Ax=Ax, Aty=Aty, xbar=x, ybar=y, mu=mu,
+        x=x, y=y, Qx=Qx, Ax=Ax, Aty=Aty, dx_prev=op.zeros_primal(),
+        xbar=x, ybar=y, mu=mu,
         sigma=sigma, eps_in=jnp.asarray(settings.eps_abs_in, dt),
         res_prim_old=op.zeros_dual(), tau=zero,
         iter=i0, iter_old=i0, oter=i0,
@@ -223,7 +224,8 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
     kdt = jnp.dtype(settings.kkt_dtype) if settings.kkt_dtype else dt
     At_ytilde = op.Atmv(ytilde, dtype=kdt)
     rhs = tmap(lambda rd, aty: -(rd + aty), res_dual_in, At_ytilde)
-    dx = op.newton_solve(active, s.mu, sigma, rhs, settings)
+    dx = op.newton_solve(active, s.mu, sigma, rhs, settings,
+                         dx_prev=s.dx_prev)
     Qdx_pure = op.Qmv(dx, dtype=kdt)
     if check_inf:
         Adx, Adx_c_raw = op.Amv2(dx, dx_c)
@@ -345,6 +347,7 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
         Qx=pick(Qx_nwt, s.Qx, s.Qx),
         Ax=pick(Ax_nwt, s.Ax, s.Ax),
         Aty=pick(Aty_nwt, s.Aty, s.Aty),
+        dx_prev=pick(dx, s.dx_prev, s.dx_prev),
         xbar=pick(s.xbar, s.x, s.xbar),     # prox center <- x (qpdo.c:396)
         ybar=pick(s.ybar, s.y, s.ybar),
         mu=pick(s.mu, mu_out, s.mu),
@@ -491,7 +494,7 @@ def upcast_state(op, settings: Settings, s: SolverState) -> SolverState:
     status = jnp.where(s.status == _c.SOLVED, _c.UNSOLVED, s.status)
     return SolverState(
         x=x, y=y, Qx=op.Qmv(x), Ax=op.Amv(x), Aty=op.Atmv(y),
-        xbar=up(s.xbar), ybar=up(s.ybar), mu=up(s.mu), sigma=up(s.sigma),
+        dx_prev=up(s.dx_prev), xbar=up(s.xbar), ybar=up(s.ybar), mu=up(s.mu), sigma=up(s.sigma),
         eps_in=up(s.eps_in), res_prim_old=up(s.res_prim_old), tau=up(s.tau),
         iter=s.iter, iter_old=s.iter_old, oter=s.oter,
         status=status.astype(jnp.int32),

@@ -39,8 +39,54 @@ def _as_bcoo(M, dtype, shape=None):
     return jsparse.BCOO.fromdense(jnp.asarray(M, dtype))
 
 
+def _block_jacobi_indices(a_indices, q_indices, n, block: int,
+                          pair_cap_factor: float = 40.0):
+    """Precompute the scatter maps of the block-Jacobi preconditioner
+    (host-side, from the static sparsity pattern).
+
+    For A: all ordered pairs of nonzeros sharing (row, column-block) —
+    each contributes w_r * a1 * a2 to block[blk][o1, o2] of A'WA.  For Q:
+    entries whose (i, j) fall in the same diagonal block.  Returns
+    (pjA, pjQ), or (None, None) when the pattern makes pair enumeration
+    larger than ``pair_cap_factor * nnz`` (dense-ish rows — fall back to
+    plain Jacobi)."""
+    rows = np.asarray(a_indices[:, 0], np.int64)
+    cols = np.asarray(a_indices[:, 1], np.int64)
+    blk = cols // block
+    order = np.lexsort((blk, rows))
+    rs, bs = rows[order], blk[order]
+    grp_start = np.flatnonzero(
+        np.r_[True, (rs[1:] != rs[:-1]) | (bs[1:] != bs[:-1])])
+    sizes = np.diff(np.r_[grp_start, len(rs)])
+    n_pairs = int(np.sum(sizes.astype(np.int64) ** 2))
+    if n_pairs > pair_cap_factor * max(len(rows), 1):
+        return None, None
+    sq = sizes ** 2
+    starts_rep = np.repeat(grp_start, sq)
+    pid = np.arange(n_pairs) - np.repeat(np.cumsum(sq) - sq, sq)
+    s_rep = np.repeat(sizes, sq)
+    t1 = order[starts_rep + pid // s_rep]
+    t2 = order[starts_rep + pid % s_rep]
+    pjA = (jnp.asarray(t1, jnp.int32), jnp.asarray(t2, jnp.int32),
+           jnp.asarray(rows[t1], jnp.int32),
+           jnp.asarray(cols[t1] // block, jnp.int32),
+           jnp.asarray(cols[t1] % block, jnp.int32),
+           jnp.asarray(cols[t2] % block, jnp.int32))
+
+    qi = np.asarray(q_indices[:, 0], np.int64)
+    qj = np.asarray(q_indices[:, 1], np.int64)
+    same = qi // block == qj // block
+    tq = np.flatnonzero(same)
+    pjQ = (jnp.asarray(tq, jnp.int32),
+           jnp.asarray(qi[tq] // block, jnp.int32),
+           jnp.asarray(qi[tq] % block, jnp.int32),
+           jnp.asarray(qj[tq] % block, jnp.int32))
+    return pjA, pjQ
+
+
 def setup_sparse(Q, q, A, l, u, c=0.0, scaling_iters: int = _c.SCALING,
-                 dtype=None) -> SparseOperator:
+                 dtype=None, precond: str = "block_jacobi",
+                 precond_block: int = 64) -> SparseOperator:
     """Build a scaled SparseOperator from sparse (or dense) Q/A.
 
     ``Q`` must be the full symmetric matrix (both triangles), as in
@@ -118,7 +164,14 @@ def setup_sparse(Q, q, A, l, u, c=0.0, scaling_iters: int = _c.SCALING,
     diagQ = jnp.zeros((n,), dtype).at[qi].add(
         jnp.where(qi == qj, Qb_s.data, 0.0))
 
+    pjA = pjQ = None
+    if precond == "block_jacobi":
+        pjA, pjQ = _block_jacobi_indices(np.asarray(Ab_s.indices),
+                                         np.asarray(Qb_s.indices),
+                                         n, precond_block)
+
     return SparseOperator(
         Q=Qb_s, A=Ab_s, At=At, diagQ=diagQ, q=q_s, l=l_s, u=u_s,
         c=jnp.asarray(c, dtype), D=D, Dinv=one / D, E=E, Einv=one / E,
-        cost=cost, cinv=one / cost, l_finite=l_finite, u_finite=u_finite)
+        cost=cost, cinv=one / cost, l_finite=l_finite, u_finite=u_finite,
+        pjA=pjA, pjQ=pjQ)

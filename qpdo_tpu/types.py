@@ -129,6 +129,15 @@ class Settings:
     cg_tol: float = 1e-8
     # Static CG iteration cap (early exit on convergence).
     cg_max_iter: int = 500
+    # CG preconditioner: "block_jacobi" factors the block diagonal of K
+    # (extracted matrix-free from the sparsity pattern) with a *batched*
+    # dense Cholesky — MXU-friendly, and the difference between stalling
+    # and converging on banded/PDE-structured K (LISWET/AUG-style) where
+    # plain "jacobi" does nothing.  Falls back to "jacobi" automatically
+    # when the pattern would make block extraction too expensive.
+    precond: str = "block_jacobi"
+    # Block size of the block-Jacobi preconditioner.
+    precond_block: int = 64
     # Matmul precision for the float32 warmup phase only (it targets
     # warmup_eps ~ 1e-3, so "tensorfloat32" 3-pass arithmetic can be a
     # faster choice than "highest" on TPU).
@@ -182,6 +191,9 @@ class SolverState(NamedTuple):
     Qx: jax.Array            # (n,) cached Q @ x (pure, without sigma*x)
     Ax: jax.Array            # (m,) cached A @ x
     Aty: jax.Array           # (n,) cached A' @ y
+    dx_prev: jax.Array       # (n,) previous Newton direction (warm-starts
+                             # the CG solve on the sparse path; inert on
+                             # factorization paths)
     xbar: jax.Array          # (n,) proximal center, primal
     ybar: jax.Array          # (m,) proximal center, dual
     mu: jax.Array            # (m,) per-constraint penalty vector

@@ -80,3 +80,7 @@ def validate_settings(s: Settings) -> None:
         raise ValueError("cg_tol must be positive")
     if s.cg_max_iter <= 0:
         raise ValueError("cg_max_iter must be positive")
+    if s.precond not in ("jacobi", "block_jacobi"):
+        raise ValueError("precond must be 'jacobi' or 'block_jacobi'")
+    if not 1 <= s.precond_block <= 512:
+        raise ValueError("precond_block must be in [1, 512]")

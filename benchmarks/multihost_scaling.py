@@ -1,0 +1,165 @@
+"""Multi-host weak-scaling benchmark: iterations/s at 1 vs N processes.
+
+North-star target (BASELINE.md): >= 80% linear iterations/s scaling to
+>= 2 hosts.  Real multi-host TPU hardware is not attachable here, so the
+harness measures the same quantity on the CPU simulation (each process
+contributes 4 virtual devices via --xla_force_host_platform_device_count,
+cluster formed with jax.distributed exactly as on real pods) — the script
+runs unchanged on real hardware, where ``initialize()`` picks the pod
+topology up from the environment.
+
+Weak scaling: every process holds ``B_LOCAL`` problems; the global batch
+grows with the process count.  The solve runs a *fixed* number of
+lock-step iterations (eps pinned far below reachable, so no problem
+converges and every configuration executes identical per-device work).
+
+    rate(N)       = iters * B_global / wall_time
+    efficiency(N) = rate(N) / (N * rate(1))
+
+Usage:
+    python benchmarks/multihost_scaling.py            # orchestrate 1 vs 2
+    python benchmarks/multihost_scaling.py worker <pid> <nproc> <port>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+B_LOCAL = 8
+N, M = 64, 96
+ITERS = 30
+DEV_PER_PROC = int(os.environ.get("QPDO_MH_DEV_PER_PROC", 2))
+# On the CPU sim every process must get identical, disjoint hardware or
+# the measurement reads core oversubscription as communication overhead:
+# pin process p to its own core range (no-op on real pods, where each
+# process owns its host).
+PIN_CORES = os.environ.get("QPDO_MH_PIN", "1") == "1"
+
+
+def worker(process_id: int, num_processes: int, port: str) -> None:
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={DEV_PER_PROC}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import jax.numpy as jnp
+    import qpdo_tpu as qt
+    from qpdo_tpu.parallel import multihost, solve_batch
+
+    if num_processes > 1:
+        multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                             num_processes=num_processes,
+                             process_id=process_id)
+
+    rng = np.random.default_rng(100 + process_id)
+    Mx = rng.standard_normal((B_LOCAL, N, N))
+    local = qt.Problem(
+        Q=jnp.asarray(np.einsum("bij,bkj->bik", Mx, Mx) / N + 0.1 * np.eye(N)),
+        q=jnp.asarray(rng.standard_normal((B_LOCAL, N))),
+        A=jnp.asarray(rng.standard_normal((B_LOCAL, M, N))),
+        l=jnp.asarray(-rng.random((B_LOCAL, M))),
+        u=jnp.asarray(rng.random((B_LOCAL, M))),
+        c=jnp.zeros((B_LOCAL,)))
+
+    mesh = multihost.global_mesh("batch")
+    problems = multihost.distribute_batch(local, mesh) \
+        if num_processes > 1 else local
+
+    # eps far below float64 reach -> nobody converges -> exactly ITERS
+    # lock-step iterations of full per-device work in every configuration
+    settings = qt.Settings(eps_abs=1e-300, eps_prim_inf=0.0,
+                           eps_dual_inf=0.0, max_iter=ITERS)
+
+    def run():
+        res = solve_batch(problems, settings)
+        # sync: pull one addressable scalar to the host
+        np.asarray(res.info.status_val.addressable_shards[0].data
+                   if hasattr(res.info.status_val, "addressable_shards")
+                   else res.info.status_val)
+        return res
+
+    run()                       # compile + warm
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run()
+    dt = (time.perf_counter() - t0) / reps
+
+    b_global = B_LOCAL * num_processes
+    rate = ITERS * b_global / dt
+    if process_id == 0:
+        print(json.dumps({"num_processes": num_processes,
+                          "b_global": b_global, "iters": ITERS,
+                          "wall_s": round(dt, 4),
+                          "iters_per_s": round(rate, 1)}), flush=True)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_config(nproc: int) -> dict:
+    here = os.path.abspath(__file__)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    ncores = os.cpu_count() or 4
+    cores_per = max(1, ncores // max(nproc, 2))
+    procs = []
+    for pid in range(nproc):
+        cmd = [sys.executable, here, "worker", str(pid), str(nproc), port]
+        if PIN_CORES:
+            lo = pid * cores_per
+            cmd = ["taskset", "-c", f"{lo}-{lo + cores_per - 1}"] + cmd
+        procs.append(subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    if any(p.returncode != 0 for p in procs):
+        for pid, out in enumerate(outs):
+            sys.stderr.write(f"--- proc {pid} ---\n{out[-2000:]}\n")
+        raise RuntimeError(f"{nproc}-process run failed")
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+    raise RuntimeError("no result line")
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        return 0
+    r1 = _run_config(1)
+    r2 = _run_config(2)
+    eff = r2["iters_per_s"] / (2 * r1["iters_per_s"])
+    print(json.dumps({
+        "benchmark": "multihost_weak_scaling",
+        "platform": f"cpu-sim ({DEV_PER_PROC} virtual devices/process, "
+                    f"{os.cpu_count()} cores, pinned={PIN_CORES})",
+        "rate_1proc": r1["iters_per_s"],
+        "rate_2proc": r2["iters_per_s"],
+        "scaling_efficiency_2proc": round(eff, 4),
+        "target": 0.8,
+        "pass": bool(eff >= 0.8),
+    }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,1 +1,1 @@
-from .qps import QPSData, read_qps, to_problem, write_qps
+from .qps import QPSData, read_qps, solve_qps_data, to_problem, write_qps

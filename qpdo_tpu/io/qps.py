@@ -250,6 +250,23 @@ def to_problem(data: QPSData, dtype=None):
                         dtype=dtype)
 
 
+def solve_qps_data(data: QPSData, settings=None, dtype=None):
+    """Solve parsed QPS data on the matching path: sparse Q/A (from
+    ``read_qps_native(..., dense=False)``) go through ``solve_sparse``
+    (matrix-free CG Newton), dense arrays through the dense solver."""
+    try:
+        import scipy.sparse as sps
+        is_sparse = sps.issparse(data.Q) or sps.issparse(data.A)
+    except ImportError:  # pragma: no cover
+        is_sparse = False
+    if is_sparse:
+        from ..api import solve_sparse
+        return solve_sparse(data.Q, data.q, data.A, data.l, data.u, data.c,
+                            settings=settings, dtype=dtype)
+    from ..api import solve
+    return solve(to_problem(data, dtype), settings)
+
+
 def write_qps(data_or_problem, path_or_file=None, name: str = "QP") -> str:
     """Write a QP in QPS format (inverse of ``read_qps``).
 

@@ -75,7 +75,10 @@ def native_available() -> bool:
 
 def read_qps_native(path_or_text, dense: bool = True):
     """Parse a QPS file with the native parser.  Accepts a path (optionally
-    .gz) or raw text.  Returns a ``qpdo_tpu.io.qps.QPSData``."""
+    .gz) or raw text.  Returns a ``qpdo_tpu.io.qps.QPSData``; with
+    ``dense=False`` the Q/A members are scipy.sparse COO matrices —
+    mandatory for large Maros-Mészáros instances (n up to ~90k never fits
+    an (n, n) dense array) and feedable straight into ``solve_sparse``."""
     from ..io.qps import QPSData
 
     if os.path.exists(str(path_or_text)):
@@ -118,9 +121,15 @@ def read_qps_native(path_or_text, dense: bool = True):
     finally:
         lib.qps_destroy(h)
 
-    Q = np.zeros((n, n))
-    np.add.at(Q, (qi, qj), qv)
-    A = np.zeros((m_total, n))
-    np.add.at(A, (ai, aj), av)
+    if dense:
+        Q = np.zeros((n, n))
+        np.add.at(Q, (qi, qj), qv)
+        A = np.zeros((m_total, n))
+        np.add.at(A, (ai, aj), av)
+    else:
+        import scipy.sparse as sps
+        # duplicate triplets accumulate, same semantics as np.add.at
+        Q = sps.coo_matrix((qv, (qi, qj)), shape=(n, n)).tocsr()
+        A = sps.coo_matrix((av, (ai, aj)), shape=(m_total, n)).tocsr()
     return QPSData(name=name, Q=Q, q=qlin, c=c, A=A, l=l, u=u,
                    n_structural=int(m_struct))

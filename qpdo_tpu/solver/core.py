@@ -222,12 +222,20 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
     # Everything dividing by mu (A dx -> dy, newton.c:60-63) or feeding the
     # eps-relative infeasibility tests stays in the state dtype.
     kdt = jnp.dtype(settings.kkt_dtype) if settings.kkt_dtype else dt
+    cdt = jnp.dtype(settings.cert_dtype) if settings.cert_dtype else dt
+    split_certs = check_inf and cdt != dt
     At_ytilde = op.Atmv(ytilde, dtype=kdt)
     rhs = tmap(lambda rd, aty: -(rd + aty), res_dual_in, At_ytilde)
     dx = op.newton_solve(active, s.mu, sigma, rhs, settings,
                          dx_prev=s.dx_prev)
     Qdx_pure = op.Qmv(dx, dtype=kdt)
-    if check_inf:
+    if split_certs:
+        # certificate columns in reduced precision, un-stacked from the
+        # state-dtype GEMMs (see Settings.cert_dtype)
+        Adx = op.Amv(dx)
+        Adx_c_raw = op.Amv(dx_c, dtype=cdt)
+        Qdx_c = op.Qmv(dx_c, dtype=cdt)
+    elif check_inf:
         Adx, Adx_c_raw = op.Amv2(dx, dx_c)
         Qdx_c = op.Qmv(dx_c)
     else:
@@ -239,7 +247,10 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
         Qdx = Qdx_pure
     dy = tmap(lambda yt, a, adx, mu: yt + a * (adx / mu),
               ytilde, active, Adx, s.mu)               # newton.c:60-63
-    if check_inf:
+    if split_certs:
+        Atdy = op.Atmv(dy)
+        Atdy_c_raw = op.Atmv(dy_c, dtype=cdt)
+    elif check_inf:
         Atdy, Atdy_c_raw = op.Atmv2(dy, dy_c)
     else:
         Atdy = op.Atmv(dy)

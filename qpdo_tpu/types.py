@@ -121,6 +121,14 @@ class Settings:
     # iteration — identical results, avoids the 2m-element sort; the right
     # choice when constraint rows are sharded over devices).
     linesearch: str = "sort"
+    # Precision of the infeasibility-certificate matvecs (A dx_c, A' dy_c,
+    # Q dx_c).  The certificate tests (termination.c:97-216) are
+    # eps-relative at eps_inf = 1e-6; a float32 matvec contributes ~1e-7
+    # relative noise — inside the tests' margin — while removing the
+    # certificate columns from the per-iteration emulated-float64 GEMMs on
+    # TPU (the Newton direction's own matvecs stay in the state dtype).
+    # None = state dtype (exact reference semantics).
+    cert_dtype: str | None = None
     # --- large-n sparse path (SparseOperator, ops/cg.py) ---
     # Relative residual tolerance of the preconditioned-CG Newton solve
     # (the matrix-free replacement of the sparse LDL' factorization,

@@ -79,3 +79,28 @@ def test_certificates_nan_when_solved():
     assert np.all(np.isnan(np.asarray(res.prim_inf_cert)))
     assert np.all(np.isnan(np.asarray(res.dual_inf_cert)))
     assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_certificates_with_reduced_cert_dtype():
+    """cert_dtype="float32": the three acceptance problems still classify
+    correctly and the returned certificates stay valid (the eps-relative
+    tests keep ~10x margin over float32 matvec noise)."""
+    import qpdo_tpu as qt
+
+    def prob(a, b, c):
+        Q = np.array([[1.0, 0.0], [0.0, 0.0]])
+        q = np.array([1.0, c])
+        A = np.array([[a, a], [1.0, 0.0], [0.0, 1.0]])
+        return qt.make_problem(Q, q, A, [-np.inf, 1, 1], [0.0, 3, b])
+
+    s = qt.Settings(max_iter=100, cert_dtype="float32")
+    r1 = qt.solve(prob(0.0, 3.0, 0.0), s)
+    r2 = qt.solve(prob(1.0, 3.0, 0.0), s)
+    r3 = qt.solve(prob(0.0, np.inf, -1.0), s)
+    assert int(r1.info.status_val) == qt.SOLVED
+    assert int(r2.info.status_val) == qt.PRIMAL_INFEASIBLE
+    assert int(r3.info.status_val) == qt.DUAL_INFEASIBLE
+    dy = np.asarray(r2.prim_inf_cert)
+    assert np.max(np.abs(dy)) > 0 and np.all(np.isfinite(dy))
+    dx = np.asarray(r3.dual_inf_cert)
+    assert np.max(np.abs(dx)) > 0 and np.all(np.isfinite(dx))

@@ -125,3 +125,32 @@ QUADOBJ
 ENDATA
 """
     _parity(qps)
+
+
+def test_sparse_parse_and_solve():
+    """dense=False returns scipy-sparse Q/A (the large-MM ingestion path)
+    and solve_qps_data routes it through the sparse CG solver, matching
+    the dense route."""
+    import scipy.sparse as sps
+    from qpdo_tpu.io import write_qps, solve_qps_data
+    from qpdo_tpu.native import read_qps_native
+    import qpdo_tpu as qt
+
+    rng = np.random.default_rng(3)
+    n, m = 30, 22
+    M = rng.standard_normal((n, n))
+    Q = M @ M.T / n + 0.1 * np.eye(n)
+    p = qt.make_problem(Q, rng.standard_normal(n),
+                        rng.standard_normal((m, n)),
+                        -np.ones(m), np.ones(m))
+    txt = write_qps(p, name="SPTEST")
+    dd = read_qps_native(txt, dense=True)
+    ds = read_qps_native(txt, dense=False)
+    assert sps.issparse(ds.Q) and sps.issparse(ds.A)
+    np.testing.assert_allclose(np.asarray(ds.Q.todense()), dd.Q)
+    np.testing.assert_allclose(np.asarray(ds.A.todense()), dd.A)
+    r_sparse = solve_qps_data(ds)
+    r_dense = solve_qps_data(dd)
+    assert int(r_sparse.info.status_val) == qt.SOLVED
+    np.testing.assert_allclose(np.asarray(r_sparse.x),
+                               np.asarray(r_dense.x), atol=1e-7)

@@ -93,6 +93,7 @@ def solve_sparse(Q, q, A, l, u, c=0.0,
 
     settings = settings or Settings()
     validate_settings(settings)
+    t0 = time.perf_counter()
     op = setup_sparse(Q, q, A, l, u, c, settings.scaling, dtype,
                       precond=settings.precond,
                       precond_block=settings.precond_block)
@@ -100,6 +101,9 @@ def solve_sparse(Q, q, A, l, u, c=0.0,
         x0 = jnp.asarray(x0, op.dtype)
     if y0 is not None:
         y0 = jnp.asarray(y0, op.dtype)
+    if _needs_host_driver(settings):
+        return solve_driven(op, settings, x0, y0,
+                            x0 is not None, y0 is not None, t0)
     return _solve_on_operator(op, settings, x0, y0,
                               x0 is not None, y0 is not None)
 

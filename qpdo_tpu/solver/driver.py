@@ -31,7 +31,7 @@ _TIME_CHUNK = 32  # iterations between wall-clock checks
 def _init(sp, settings, x0, y0, warm_x, warm_y):
     import jax.numpy as jnp
 
-    if settings.hybrid_warmup and sp.data.Q.dtype != jnp.float32:
+    if settings.hybrid_warmup and core.as_operator(sp).dtype != jnp.float32:
         return core._warmup_pass(sp, settings, x0, y0, warm_x, warm_y)
     return core.init_state(sp, settings, x0, y0, warm_x, warm_y)
 

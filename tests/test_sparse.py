@@ -159,3 +159,20 @@ def test_block_jacobi_matches_jacobi_result():
     assert int(r1.info.status_val) == int(r2.info.status_val) == qt.SOLVED
     np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
                                atol=1e-7)
+
+
+def test_sparse_verbose_and_max_time(capsys):
+    """The host driver (verbose table + max_time) works on the sparse
+    operator path too."""
+    Q, q, A, l, u = random_qp(20, 15, seed=13)
+    Qs, As = _sparse_of(Q, A)
+    res = qt.solve_sparse(Qs, q, As, l, u,
+                          settings=qt.Settings(verbose=True, max_iter=200))
+    out = capsys.readouterr().out
+    assert int(res.info.status_val) == qt.SOLVED
+    assert "res_prim" in out or "iter" in out
+    # max_time cap: an impossible deadline returns MAX_TIME_REACHED
+    res2 = qt.solve_sparse(Qs, q, As, l, u,
+                           settings=qt.Settings(eps_abs=1e-300,
+                                                max_time=1e-6))
+    assert int(res2.info.status_val) == qt.MAX_TIME_REACHED

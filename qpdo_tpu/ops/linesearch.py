@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 
 def exact_linesearch(dx, dy, Qdx, Adx, df, y, w, mu, l, u,
-                     method: str = "sort"):
+                     method: str = "sort", root_dtype=None):
     """Return the exact stepsize tau minimizing the merit along (dx, dy).
 
     Arguments are the scaled-space quantities of the current Newton step;
@@ -56,9 +56,22 @@ def exact_linesearch(dx, dy, Qdx, Adx, df, y, w, mu, l, u,
     uw = tflat(tmap(lambda uv, wv, m: (uv - wv) * jax.lax.rsqrt(m), u, w, mu))
     delta = jnp.concatenate([-d_half, d_half])
     alpha = jnp.concatenate([wl, uw])
+    state_dt = delta.dtype
+    if root_dtype is not None and jnp.dtype(root_dtype) != state_dt:
+        # The root-find (2m-element sort + scan, or the bisection loop)
+        # only needs tau to ~sqrt(eps) relative: psi is smooth at the
+        # root, so a tau error e loses O(e^2) merit.  Running it in
+        # float32 takes the per-iteration sort off the emulated-float64
+        # path on TPU; every quantity feeding the *iterate* update stays
+        # in the state dtype.
+        rd = jnp.dtype(root_dtype)
+        eta, beta = eta.astype(rd), beta.astype(rd)
+        delta, alpha = delta.astype(rd), alpha.astype(rd)
     if method == "bisect":
-        return pwa_root_bisect(eta, beta, delta, alpha)
-    return pwa_root(eta, beta, delta, alpha)
+        tau = pwa_root_bisect(eta, beta, delta, alpha)
+    else:
+        tau = pwa_root(eta, beta, delta, alpha)
+    return tau.astype(state_dt)
 
 
 def pwa_root(eta, beta, delta, alpha):

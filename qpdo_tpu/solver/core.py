@@ -255,7 +255,7 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
     else:
         Atdy = op.Atmv(dy)
     tau = exact_linesearch(dx, dy, Qdx, Adx, df, s.y, w, s.mu, op.l, op.u,
-                           settings.linesearch)
+                           settings.linesearch, settings.linesearch_dtype)
     # iterate + cache updates (iteration.c:19-24); Qx cache is pure Q@x here
     axpy = lambda v, d: tmap(lambda a, b: a + tau * b, v, d)
     x_nwt = axpy(s.x, dx)

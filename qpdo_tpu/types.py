@@ -129,6 +129,11 @@ class Settings:
     # TPU (the Newton direction's own matvecs stay in the state dtype).
     # None = state dtype (exact reference semantics).
     cert_dtype: str | None = None
+    # Precision of the exact-linesearch root find (the 2m-element sort /
+    # bisection).  tau only needs ~sqrt(eps) relative accuracy (the merit
+    # is smooth at its root), so "float32" moves the per-iteration sort
+    # off the emulated-float64 path on TPU.  None = state dtype.
+    linesearch_dtype: str | None = None
     # --- large-n sparse path (SparseOperator, ops/cg.py) ---
     # Relative residual tolerance of the preconditioned-CG Newton solve
     # (the matrix-free replacement of the sparse LDL' factorization,

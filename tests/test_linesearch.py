@@ -125,3 +125,21 @@ def test_bisect_infinite_bound_breakpoints():
     t = float(pwa_root_bisect(jnp.asarray(eta), jnp.asarray(beta),
                               jnp.asarray(delta), jnp.asarray(alpha)))
     assert abs(t - 1.0) < 1e-6
+
+
+def test_reduced_precision_root_find():
+    """linesearch_dtype="float32": solves still reach 1e-6 (tau only needs
+    ~sqrt(eps) relative accuracy) with a near-identical iteration count."""
+    import qpdo_tpu as qt
+    from utils import random_qp
+
+    Q, q, A, l, u = random_qp(40, 60, seed=17)
+    p = qt.make_problem(Q, q, A, l, u)
+    ref = qt.solve(p)
+    res = qt.solve(p, qt.Settings(linesearch_dtype="float32"))
+    assert int(res.info.status_val) == qt.SOLVED
+    assert float(res.info.res_prim_norm) < 1e-6
+    assert float(res.info.res_dual_norm) < 1e-6
+    assert abs(int(res.info.iterations) - int(ref.info.iterations)) <= 5
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               atol=1e-6)

@@ -197,6 +197,33 @@ class DenseOperator(NamedTuple):
         AtV = self.sp.data.A.T @ jnp.stack([ya, yb], axis=-1)  # (n, 2)
         return AtV[..., 0], AtV[..., 1]
 
+    # -- mixed-precision matvecs with exact "hard rows" --------------------
+    # The dual step divides A dx by mu (newton.c:60-63): on rows with tiny
+    # mu a float32 A dx error eps32*||dx|| amplifies to eps32*||dx||/mu —
+    # fatal below mu ~ 1e-3 (docs/design-notes.md).  But mu starts at the
+    # Birgin-Martinez floor 1e-3 (iteration.c:107-109) and only shrinks on
+    # persistently-violated rows, measured at <= a few rows per problem in
+    # phase 2.  So: compute the GEMM in reduced precision and overwrite
+    # the k smallest-mu rows with an exact gathered (k, n) product.  All
+    # other consumers of A dx / A'dy (caches, linesearch) tolerate f32
+    # noise because their error is proportional to the remaining path
+    # length, not 1/mu.
+    def Amv_mixed(self, x, mu, k: int, dtype):
+        A = self.sp.data.A
+        k = min(k, A.shape[-2])
+        fast = (A.astype(dtype) @ x.astype(dtype)).astype(A.dtype)
+        _, idx = jax.lax.top_k(-mu, k)
+        exact = jnp.take(A, idx, axis=0) @ x
+        return fast.at[idx].set(exact)
+
+    def Atmv_mixed(self, y, mu, k: int, dtype):
+        A = self.sp.data.A
+        k = min(k, A.shape[-2])
+        _, idx = jax.lax.top_k(-mu, k)
+        y_soft = y.at[idx].set(0.0)
+        fast = (A.T.astype(dtype) @ y_soft.astype(dtype)).astype(A.dtype)
+        return fast + jnp.take(A, idx, axis=0).T @ y[idx]
+
     # -- Newton system solve (the factorization event, newton.c:21-49) --
     def newton_solve(self, active, mu, sigma, rhs, settings: Settings,
                      dx_prev=None):

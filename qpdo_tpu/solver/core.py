@@ -179,9 +179,16 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
     res_dual_in_norm = tnorm_inf(tmap(jnp.multiply, op.Dinv, res_dual_in)) * cinv
 
     # ---- outer optimality / divergence (termination.c:11-23) ----
+    # In mixed-GEMM mode the caches carry bounded reduced-precision drift
+    # between anchors (run_loop), so the SOLVED latch keeps a 10% margin:
+    # internal residual <= 0.9*eps + drift << eps  =>  true residual <= eps.
     infty = jnp.asarray(_c.QPDO_INFTY, dt)
+    mixed_mode = (settings.phase2_gemm_dtype is not None
+                  and jnp.dtype(settings.phase2_gemm_dtype) != dt
+                  and hasattr(op, "Amv_mixed"))
+    eps_latch = eps_abs * 0.9 if mixed_mode else eps_abs
     diverged = (res_prim_norm > infty) | (res_dual_norm > infty)
-    solved = (res_prim_norm <= eps_abs) & (res_dual_norm <= eps_abs)
+    solved = (res_prim_norm <= eps_latch) & (res_dual_norm <= eps_latch)
     status_opt = jnp.where(
         diverged, _c.NON_CVX,
         jnp.where(solved, _c.SOLVED, _c.UNSOLVED)).astype(jnp.int32)
@@ -222,14 +229,28 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
     # Everything dividing by mu (A dx -> dy, newton.c:60-63) or feeding the
     # eps-relative infeasibility tests stays in the state dtype.
     kdt = jnp.dtype(settings.kkt_dtype) if settings.kkt_dtype else dt
-    cdt = jnp.dtype(settings.cert_dtype) if settings.cert_dtype else dt
+    # anchored phase 2: reduced-precision A-GEMMs with exact hard rows
+    # (Settings.phase2_gemm_dtype); certificates default to the same dtype
+    mixed = (settings.phase2_gemm_dtype is not None
+             and jnp.dtype(settings.phase2_gemm_dtype) != dt
+             and hasattr(op, "Amv_mixed"))
+    pdt = jnp.dtype(settings.phase2_gemm_dtype) if mixed else None
+    cert_dt = settings.cert_dtype or settings.phase2_gemm_dtype
+    cdt = jnp.dtype(cert_dt) if cert_dt else dt
     split_certs = check_inf and cdt != dt
     At_ytilde = op.Atmv(ytilde, dtype=kdt)
     rhs = tmap(lambda rd, aty: -(rd + aty), res_dual_in, At_ytilde)
     dx = op.newton_solve(active, s.mu, sigma, rhs, settings,
                          dx_prev=s.dx_prev)
     Qdx_pure = op.Qmv(dx, dtype=kdt)
-    if split_certs:
+    if mixed:
+        Adx = op.Amv_mixed(dx, s.mu, settings.hard_rows, pdt)
+        if check_inf:
+            Adx_c_raw = op.Amv(dx_c, dtype=cdt)
+            Qdx_c = op.Qmv(dx_c, dtype=cdt)
+        else:
+            Qdx_c = Adx_c_raw = Atdy_c_raw = None
+    elif split_certs:
         # certificate columns in reduced precision, un-stacked from the
         # state-dtype GEMMs (see Settings.cert_dtype)
         Adx = op.Amv(dx)
@@ -247,7 +268,11 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
         Qdx = Qdx_pure
     dy = tmap(lambda yt, a, adx, mu: yt + a * (adx / mu),
               ytilde, active, Adx, s.mu)               # newton.c:60-63
-    if split_certs:
+    if mixed:
+        Atdy = op.Atmv_mixed(dy, s.mu, settings.hard_rows, pdt)
+        if check_inf:
+            Atdy_c_raw = op.Atmv(dy_c, dtype=cdt)
+    elif split_certs:
         Atdy = op.Atmv(dy)
         Atdy_c_raw = op.Atmv(dy_c, dtype=cdt)
     elif check_inf:
@@ -388,11 +413,24 @@ def objective_value(op, x, Qx):
     return obj * op.cinv + op.c
 
 
+def reanchor(op, settings: Settings, s: SolverState) -> SolverState:
+    """Recompute the Qx/Ax/Aty caches with exact state-dtype matvecs
+    ("anchor" of the mixed-GEMM phase 2): resets the reduced-precision
+    increment drift accumulated since the previous anchor."""
+    op = as_operator(op)
+    return s._replace(Qx=op.Qmv(s.x), Ax=op.Amv(s.x), Aty=op.Atmv(s.y))
+
+
 @_with_matmul_precision
 def run_loop(op, settings: Settings, s: SolverState, iter_cap) -> SolverState:
     """Iterate until the status latches or ``iter`` reaches ``iter_cap``
     (the main loop, qpdo.c:343-449).  ``iter_cap`` may be traced, enabling
-    chunked driving for max_time enforcement and verbose printing."""
+    chunked driving for max_time enforcement and verbose printing.
+
+    In mixed-GEMM mode (Settings.phase2_gemm_dtype) the loop nests: chunks
+    of ``anchor_every`` iterations, each followed by an exact cache
+    reanchor — the amortized cost of exactness is 3 state-dtype GEMMs per
+    chunk instead of per iteration."""
     op = as_operator(op)
 
     def cond(s: SolverState):
@@ -401,7 +439,21 @@ def run_loop(op, settings: Settings, s: SolverState, iter_cap) -> SolverState:
     def body(s: SolverState):
         return step(op, settings, s)
 
-    return jax.lax.while_loop(cond, body, s)
+    mixed = (settings.phase2_gemm_dtype is not None
+             and jnp.dtype(settings.phase2_gemm_dtype) != op.dtype
+             and hasattr(op, "Amv_mixed"))
+    if not mixed:
+        return jax.lax.while_loop(cond, body, s)
+
+    K = settings.anchor_every
+
+    def chunk(s: SolverState):
+        end = jnp.minimum(s.iter + K, iter_cap)
+        s = jax.lax.while_loop(
+            lambda t: (t.status == _c.UNSOLVED) & (t.iter < end), body, s)
+        return reanchor(op, settings, s)
+
+    return jax.lax.while_loop(cond, chunk, s)
 
 
 @_with_matmul_precision

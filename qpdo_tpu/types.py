@@ -134,6 +134,24 @@ class Settings:
     # is smooth at its root), so "float32" moves the per-iteration sort
     # off the emulated-float64 path on TPU.  None = state dtype.
     linesearch_dtype: str | None = None
+    # Precision of the per-iteration A dx / A' dy GEMMs in the accurate
+    # phase ("anchored phase 2").  With e.g. "float32", the full-size
+    # GEMMs run in reduced precision and only each problem's ``hard_rows``
+    # smallest-mu rows get an exact gathered (k, n) product — the one
+    # place where the mu-division amplifies reduced-precision noise
+    # (docs/design-notes.md error analysis; operators.DenseOperator
+    # Amv_mixed/Atmv_mixed).  None = state dtype (exact reference
+    # arithmetic).  Dense operator only; other operators ignore it.
+    phase2_gemm_dtype: str | None = None
+    # Number of exact smallest-mu rows in the mixed GEMMs above.
+    hard_rows: int = 16
+    # Anchor cadence of the mixed-GEMM mode: every ``anchor_every``
+    # iterations the Qx/Ax/Aty caches are recomputed with exact
+    # state-dtype matvecs inside the jitted loop (a nested while_loop), so
+    # reduced-precision increment drift is bounded by a K-step window;
+    # combined with the 10% latch margin (solver/core.py) the *true* KKT
+    # residual of a SOLVED result stays within eps_abs.
+    anchor_every: int = 8
     # --- large-n sparse path (SparseOperator, ops/cg.py) ---
     # Relative residual tolerance of the preconditioned-CG Newton solve
     # (the matrix-free replacement of the sparse LDL' factorization,

@@ -190,3 +190,43 @@ def test_bisect_linesearch_solves_identically():
     # an iteration or two, the solutions must agree to tolerance
     assert abs(int(r2.info.iterations) - int(r1.info.iterations)) <= 3
     np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x), atol=1e-6)
+
+
+def test_anchored_phase2_mixed_gemms():
+    """phase2_gemm_dtype="float32" (reduced-precision A-GEMMs with exact
+    hard rows): solves still reach 1e-6 with residuals verified by the
+    independent KKT oracle."""
+    import qpdo_tpu as qt
+    from utils import kkt_residuals, random_qp
+
+    for seed in range(6):
+        Q, q, A, l, u = random_qp(50, 75, seed=100 + seed)
+        p = qt.make_problem(Q, q, A, l, u)
+        s = qt.Settings(phase2_gemm_dtype="float32", hard_rows=16,
+                        kkt_dtype="float32", refine_steps=2, mu_min=1e-7)
+        res = qt.solve(p, s)
+        assert int(res.info.status_val) == qt.SOLVED, seed
+        rp, rd = kkt_residuals(Q, q, A, l, u, np.asarray(res.x),
+                               np.asarray(res.y))
+        assert rp < 1e-6 and rd < 1e-6, (seed, rp, rd)
+
+
+def test_anchored_phase2_warm_resolve():
+    """Mixed GEMMs stay accurate on the warm-start MPC path, where
+    warm_mu_adapt shrinks the whole mu vector (the worst case for the
+    hard-rows split: many small mu but tiny ||dx||)."""
+    import qpdo_tpu as qt
+    from utils import kkt_residuals, random_qp
+
+    Q, q, A, l, u = random_qp(40, 60, seed=55)
+    p = qt.make_problem(Q, q, A, l, u)
+    s = qt.Settings(phase2_gemm_dtype="float32", kkt_dtype="float32",
+                    refine_steps=2, mu_min=1e-7)
+    cold = qt.solve(p, s)
+    p2 = p._replace(q=p.q + 1e-3)
+    warm = qt.solve(p2, s, x0=cold.x, y0=cold.y)
+    assert int(warm.info.status_val) == qt.SOLVED
+    rp, rd = kkt_residuals(Q, np.asarray(p2.q), A, l, u,
+                           np.asarray(warm.x), np.asarray(warm.y))
+    assert rp < 1e-6 and rd < 1e-6
+    assert int(warm.info.iterations) < int(cold.info.iterations)

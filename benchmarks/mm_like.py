@@ -264,7 +264,9 @@ def main(argv=None):
     if args.count:
         suite = suite[: args.count]
 
-    settings = qt.Settings(eps_abs=args.eps, max_iter=4000,
+    # max_iter 10000 = the reference's own default cap (constants.h:45);
+    # LISWET-family instances legitimately need ~n iterations
+    settings = qt.Settings(eps_abs=args.eps, max_iter=10000,
                            inner_max_iter=100, eps_abs_in=0.1,
                            rho=0.02, delta=0.1)
 

@@ -136,3 +136,123 @@ def pallas_kkt_solve(Q, A, w, sigma, rhs, interpret: bool = False):
         interpret=interpret,
     )(Qs, A, w, rhs)
     return out.reshape(B, n)
+
+
+# ---------------------------------------------------------------------------
+# Batch-in-sublanes stacked Cholesky + solves (round-2 kernel)
+# ---------------------------------------------------------------------------
+
+def _stacked_chol_kernel(K_ref, rhs_ref, dx_ref):
+    """Cholesky + two substitutions for G problems per program.
+
+    Round-1 measurement (RESULTS.md, logs/tpu_e4.log E3 sweep): the
+    row-recursion kernel is *loop-overhead-bound* — time scales with the
+    loop count, not the n^3 element work (n 128->256 = 8x FLOPs but only
+    1.6x time).  So this kernel stacks G problems on the sublane axis
+    ((G*n, n) layout) and factors all G with ONE n-iteration recursion:
+    8x fewer loop iterations for the same per-problem element work.
+
+    The per-block trailing update sum_g colv_g (x) row_g is expressed as a
+    single (G*n, G) @ (G, n) matmul against a static block one-hot — MXU
+    work instead of G serialized outer products.  Column extraction uses a
+    lane-mask reduction (Mosaic forbids dynamic lane slicing); row j of
+    every block is gathered with G static-offset dynamic sublane slices.
+    """
+    f32 = jnp.float32
+    Gn, n = K_ref.shape[1], K_ref.shape[2]
+    G = Gn // n
+    tiny = 1e-30
+
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (Gn, n), 0)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (Gn, n), 1)
+    rloc = row2 - (row2 // n) * n                    # row index within block
+    rowG = jax.lax.broadcasted_iota(jnp.int32, (Gn, G), 0)
+    colG = jax.lax.broadcasted_iota(jnp.int32, (Gn, G), 1)
+    onehot = ((rowG // n) == colG).astype(f32)       # (Gn, G) block selector
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (G, n), 1)
+
+    def gather_rows(j):
+        # row j of all G blocks: G static-block dynamic sublane slices
+        return jnp.concatenate(
+            [K_ref[0, pl.ds(j + g * n, 1), :] for g in range(G)], axis=0)
+
+    def chol_body(j, carry):
+        K = K_ref[0]
+        rows = gather_rows(j)                                    # (G, n)
+        diag = jnp.sum(jnp.where(lane1 == j, rows, 0.0), axis=1,
+                       keepdims=True)                            # (G, 1)
+        dsafe = jnp.maximum(diag, tiny)
+        # column j of each trailing block (= row j there, by symmetry)
+        colv = jnp.sum(jnp.where(lane2 == j, K, 0.0), axis=1,
+                       keepdims=True)                            # (Gn, 1)
+        colv = jnp.where(rloc[:, :1] > j, colv, 0.0)
+        rowdiv = jnp.where(lane1 > j, rows / dsafe, 0.0)         # (G, n)
+        K_ref[0] = K - jnp.dot(colv * onehot, rowdiv,
+                               preferred_element_type=f32)
+        # write the scaled factor rows R[j, :] = row_j / sqrt(d), lanes >= j
+        Rrows = jnp.where(lane1 >= j, rows * jax.lax.rsqrt(dsafe), 0.0)
+        for g in range(G):
+            K_ref[0, pl.ds(j + g * n, 1), :] = Rrows[g:g + 1, :]
+        return carry
+
+    jax.lax.fori_loop(0, n, chol_body, 0)
+
+    # forward substitution  R' z = b   (all G problems as (G, n) lanes)
+    def fwd_body(j, b):
+        rows = gather_rows(j)
+        rjj = jnp.maximum(jnp.sum(jnp.where(lane1 == j, rows, 0.0), axis=1,
+                                  keepdims=True), tiny)
+        bj = jnp.sum(jnp.where(lane1 == j, b, 0.0), axis=1, keepdims=True)
+        zj = bj / rjj
+        b = b - zj * jnp.where(lane1 > j, rows, 0.0)
+        return jnp.where(lane1 == j, zj, b)
+
+    z = jax.lax.fori_loop(0, n, fwd_body, rhs_ref[0])
+
+    # back substitution  R x = z
+    def bwd_body(t, x):
+        j = n - 1 - t
+        rows = gather_rows(j)
+        rjj = jnp.maximum(jnp.sum(jnp.where(lane1 == j, rows, 0.0), axis=1,
+                                  keepdims=True), tiny)
+        dotv = jnp.sum(jnp.where(lane1 > j, rows * x, 0.0), axis=1,
+                       keepdims=True)
+        zj = jnp.sum(jnp.where(lane1 == j, x, 0.0), axis=1, keepdims=True)
+        xj = (zj - dotv) / rjj
+        return jnp.where(lane1 == j, xj, x)
+
+    dx_ref[0] = jax.lax.fori_loop(0, n, bwd_body, z)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def pallas_chol_solve_stacked(K, rhs, group: int = 8,
+                              interpret: bool = False):
+    """Batched SPD solve K dx = rhs via the stacked Pallas kernel.
+
+    Args: K (B, n, n) SPD (e.g. the Jacobi-prescaled KKT matrix), rhs
+    (B, n).  B must be a multiple of ``group``; n a multiple of 128.
+    Formation/Jacobi scaling stay in XLA (they are MXU-friendly there) —
+    this kernel owns the part XLA serializes badly: the recursion.
+    """
+    B, n, _ = K.shape
+    G = group
+    assert B % G == 0, "batch must be a multiple of the stacking group"
+    f32 = jnp.float32
+    Ks = K.astype(f32).reshape(B // G, G * n, n)
+    rhs_s = rhs.astype(f32).reshape(B // G, G, n)
+
+    out = pl.pallas_call(
+        _stacked_chol_kernel,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((1, G * n, n), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, n), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G, n), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B // G, G, n), f32),
+        interpret=interpret,
+    )(Ks, rhs_s)
+    return out.reshape(B, n)

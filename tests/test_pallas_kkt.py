@@ -48,3 +48,22 @@ def test_inactive_rows_ignored():
     K = Q[0].astype(np.float64) + sigma[0] * np.eye(n)
     dx_ref = np.linalg.solve(K, rhs[0].astype(np.float64))
     assert np.max(np.abs(dx[0] - dx_ref)) < 1e-4
+
+
+def test_stacked_chol_solve_interpret():
+    """Batch-in-sublanes stacked Cholesky kernel (G=8 problems per
+    program) matches a dense solve in interpret mode."""
+    import jax.numpy as jnp
+    from qpdo_tpu.ops.pallas_kkt import pallas_chol_solve_stacked
+
+    B, n = 16, 128
+    rng = np.random.default_rng(5)
+    M = rng.standard_normal((B, n, n)).astype(np.float32)
+    K = np.einsum("bik,bjk->bij", M, M) / n + 0.5 * np.eye(n,
+                                                           dtype=np.float32)
+    rhs = rng.standard_normal((B, n)).astype(np.float32)
+    dx = pallas_chol_solve_stacked(jnp.asarray(K), jnp.asarray(rhs),
+                                   interpret=True)
+    ref = np.stack([np.linalg.solve(K[b], rhs[b]) for b in range(B)])
+    err = np.max(np.abs(np.asarray(dx) - ref)) / np.max(np.abs(ref))
+    assert err < 5e-4

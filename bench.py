@@ -85,12 +85,19 @@ def main():
         u=jnp.asarray(rng.random((B, m))),
         c=jnp.zeros((B,)))
 
-    # two-phase precision: full float32 solve to 1e-3, then float64-state
-    # polish (float32 KKT) to 1e-6; matmuls at HIGHEST precision
+    # Two-phase precision: full float32 solve to warmup_eps, then
+    # float64-state polish (float32 KKT + anchored mixed GEMMs with exact
+    # hard rows) to 1e-6; sort-free bisection linesearch with a float32
+    # root find; matmuls at HIGHEST precision.  Every knob here was
+    # measured on-device (RESULTS.md round-2 ablations).
     settings = qt.Settings(eps_abs=1e-6, max_iter=300, inner_max_iter=50,
                            eps_abs_in=0.1, rho=0.02, delta=0.1,
                            refine_steps=2, kkt_dtype="float32",
-                           hybrid_warmup=True, mu_min=1e-7)
+                           hybrid_warmup=True, mu_min=1e-7,
+                           cert_dtype="float32", warmup_eps=1e-4,
+                           linesearch="bisect", linesearch_dtype="float32",
+                           phase2_gemm_dtype="float32", hard_rows=8,
+                           anchor_every=10)
 
     def run_sync():
         # straggler compaction: bitwise-identical per-problem results,

@@ -166,9 +166,7 @@ def _stacked_chol_kernel(K_ref, rhs_ref, dx_ref):
     row2 = jax.lax.broadcasted_iota(jnp.int32, (Gn, n), 0)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (Gn, n), 1)
     rloc = row2 - (row2 // n) * n                    # row index within block
-    rowG = jax.lax.broadcasted_iota(jnp.int32, (Gn, G), 0)
-    colG = jax.lax.broadcasted_iota(jnp.int32, (Gn, G), 1)
-    onehot = ((rowG // n) == colG).astype(f32)       # (Gn, G) block selector
+    blk2 = row2 // n                                 # block id per row
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (G, n), 1)
 
     def gather_rows(j):
@@ -187,8 +185,15 @@ def _stacked_chol_kernel(K_ref, rhs_ref, dx_ref):
                        keepdims=True)                            # (Gn, 1)
         colv = jnp.where(rloc[:, :1] > j, colv, 0.0)
         rowdiv = jnp.where(lane1 > j, rows / dsafe, 0.0)         # (G, n)
-        K_ref[0] = K - jnp.dot(colv * onehot, rowdiv,
-                               preferred_element_type=f32)
+        # Per-block trailing update as G static masked broadcasts.  A
+        # single (G*n, G) @ (G, n) matmul against a block one-hot is
+        # algebraically identical but runs the MXU at its default bf16
+        # pass on TPU (measured rel err 8.6e-4, logs/tpu_e8.log E7) —
+        # broadcasts keep the recursion exact in f32.
+        upd = jnp.zeros_like(K)
+        for g in range(G):
+            upd = upd + jnp.where(blk2 == g, colv, 0.0) * rowdiv[g:g + 1, :]
+        K_ref[0] = K - upd
         # write the scaled factor rows R[j, :] = row_j / sqrt(d), lanes >= j
         Rrows = jnp.where(lane1 >= j, rows * jax.lax.rsqrt(dsafe), 0.0)
         for g in range(G):

@@ -108,6 +108,50 @@ def solve_sparse(Q, q, A, l, u, c=0.0,
                               x0 is not None, y0 is not None)
 
 
+def solve_sparse_batch(problems, settings: Optional[Settings] = None,
+                       dtype=None) -> Result:
+    """Lock-step batched solve of sparse QPs sharing one sparsity pattern
+    (sparse MPC fleets / scenario sweeps).
+
+    ``problems`` is a sequence of ``(Q, q, A, l, u[, c])`` tuples whose Q
+    and A have *identical* nonzero patterns (values may differ).  The
+    float leaves of the per-instance operators are stacked and the whole
+    solver vmaps over them while the index arrays stay shared — the
+    sparse analogue of ``parallel.solve_batch``.  Returns a Result with a
+    leading batch axis.
+    """
+    import numpy as np
+
+    from .solver.sparse import setup_sparse
+
+    settings = settings or Settings()
+    validate_settings(settings)
+    ops = []
+    for p in problems:
+        Q, q, A, l, u = p[:5]
+        c = p[5] if len(p) > 5 else 0.0
+        ops.append(setup_sparse(Q, q, A, l, u, c, settings.scaling, dtype,
+                                precond=settings.precond,
+                                precond_block=settings.precond_block))
+    base = ops[0]
+    for op in ops[1:]:
+        if (op.a_idx.shape != base.a_idx.shape
+                or op.q_idx.shape != base.q_idx.shape):
+            raise ValueError("solve_sparse_batch requires identical Q/A "
+                             "sparsity patterns across instances")
+
+    def is_float(x):
+        return np.issubdtype(np.asarray(x).dtype, np.floating)
+
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs) if is_float(xs[0]) else xs[0], *ops)
+    axes = jax.tree.map(lambda x: 0 if is_float(x) else None, base)
+
+    fn = jax.vmap(lambda op: solve_scaled(op, settings, None, None,
+                                          False, False), in_axes=(axes,))
+    return jax.jit(fn)(stacked)
+
+
 def solve(problem: Problem, settings: Optional[Settings] = None,
           x0=None, y0=None) -> Result:
     """One-shot functional solve (setup + optional warm start + solve).

@@ -7,7 +7,7 @@ protocol in this module, and each representation implements it:
 
 - ``DenseOperator``         — dense Q/A, masked-matmul KKT + Cholesky
   (the batched small-QP fast path; replaces cholmod_interface.c:35-52).
-- ``SparseOperator``        — BCOO Q/A with preconditioned-CG Newton solves
+- ``SparseOperator``        — sparse-triplet Q/A with preconditioned-CG Newton solves
   (the large-n path; plays the role of the reference's sparse LDL'
   factorization, cholmod_interface.c:8-52, without materializing K).
 - ``BlockAngularOperator``  — scenario-structured arrow KKT with a
@@ -245,28 +245,30 @@ class DenseOperator(NamedTuple):
 # ---------------------------------------------------------------------------
 
 class SparseOperator(NamedTuple):
-    """BCOO Q/A with matrix-free preconditioned-CG Newton solves.
+    """Sparse-triplet Q/A with matrix-free preconditioned-CG Newton solves.
 
     The large-n replacement of the reference's sparse LDL' backend
     (src/cholmod_interface.c:8-52): K = Q + sigma*I + A' diag(active/mu) A
-    is never materialized — Newton directions come from Jacobi-
-    preconditioned CG (ops/cg.py) whose matvec is three O(nnz) sparse
-    products.  Scaled-space data, like ``DenseOperator``; build via
-    ``qpdo_tpu.solver.sparse.setup_sparse``.
+    is never materialized — Newton directions come from Jacobi- or
+    block-Jacobi-preconditioned CG (ops/cg.py) whose matvec is three
+    O(nnz) scatter products.  Scaled-space data, like ``DenseOperator``;
+    build via ``qpdo_tpu.solver.sparse.setup_sparse``.
 
-    ``Q``/``A``/``At`` are ``jax.experimental.sparse.BCOO`` (``At`` is A's
-    transpose stored separately so both matvec directions use row-major
-    gather/scatter); ``diagQ`` is precomputed once.
+    Storage is raw COO triplets (plain arrays, so the operator is an
+    ordinary pytree: ``vmap`` over same-pattern instances maps the float
+    leaves and broadcasts the index leaves); both matvec directions use
+    the same row-sorted index array.  ``diagQ`` is precomputed once.
     """
 
-    Q: Any           # BCOO (n, n), full symmetric
-    A: Any           # BCOO (m, n)
-    At: Any          # BCOO (n, m) — A transposed, own index array
-    diagQ: jax.Array  # (n,)
-    q: jax.Array     # (n,)
-    l: jax.Array     # (m,)
-    u: jax.Array     # (m,)
-    c: jax.Array     # scalar
+    q_data: jax.Array   # (nseQ,) values of full symmetric Q
+    q_idx: jax.Array    # (nseQ, 2) int32 [row, col]
+    a_data: jax.Array   # (nseA,)
+    a_idx: jax.Array    # (nseA, 2) int32 [row, col]
+    diagQ: jax.Array    # (n,)
+    q: jax.Array        # (n,)
+    l: jax.Array        # (m,)
+    u: jax.Array        # (m,)
+    c: jax.Array        # scalar
     D: jax.Array
     Dinv: jax.Array
     E: jax.Array
@@ -287,46 +289,61 @@ class SparseOperator(NamedTuple):
     def dtype(self):
         return self.q.dtype
 
+    @property
+    def n(self):
+        return self.q.shape[-1]
+
+    @property
+    def m(self):
+        return self.l.shape[-1]
+
     def zeros_primal(self):
-        return jnp.zeros((self.Q.shape[-1],), self.dtype)
+        return jnp.zeros((self.n,), self.dtype)
 
     def zeros_dual(self):
-        return jnp.zeros((self.A.shape[0],), self.dtype)
+        return jnp.zeros((self.m,), self.dtype)
 
-    def _mv(self, M, x, dtype):
+    def _scatter_mv(self, data, rows, cols, x, out_dim, dtype):
         if dtype is not None and jnp.dtype(dtype) != self.dtype:
-            from jax.experimental import sparse as jsparse
-            Mk = jsparse.BCOO((M.data.astype(dtype), M.indices),
-                              shape=M.shape, indices_sorted=M.indices_sorted,
-                              unique_indices=M.unique_indices)
-            return (Mk @ x.astype(dtype)).astype(self.dtype)
-        return M @ x
+            out = jnp.zeros((out_dim,), dtype).at[rows].add(
+                data.astype(dtype) * x[cols].astype(dtype))
+            return out.astype(self.dtype)
+        return jnp.zeros((out_dim,), self.dtype).at[rows].add(data * x[cols])
 
     def Qmv(self, x, dtype=None):
-        return self._mv(self.Q, x, dtype)
+        return self._scatter_mv(self.q_data, self.q_idx[:, 0],
+                                self.q_idx[:, 1], x, self.n, dtype)
 
     def Amv(self, x, dtype=None):
-        return self._mv(self.A, x, dtype)
+        return self._scatter_mv(self.a_data, self.a_idx[:, 0],
+                                self.a_idx[:, 1], x, self.m, dtype)
 
     def Atmv(self, y, dtype=None):
-        return self._mv(self.At, y, dtype)
+        # A' y re-uses the same triplets with roles swapped
+        return self._scatter_mv(self.a_data, self.a_idx[:, 1],
+                                self.a_idx[:, 0], y, self.n, dtype)
 
     def Amv2(self, xa, xb):
-        AV = self.A @ jnp.stack([xa, xb], axis=-1)
+        X = jnp.stack([xa, xb], axis=-1)               # (n, 2)
+        rows, cols = self.a_idx[:, 0], self.a_idx[:, 1]
+        AV = jnp.zeros((self.m, 2), self.dtype).at[rows].add(
+            self.a_data[:, None] * X[cols, :])
         return AV[..., 0], AV[..., 1]
 
     def Atmv2(self, ya, yb):
-        AtV = self.At @ jnp.stack([ya, yb], axis=-1)
+        Y = jnp.stack([ya, yb], axis=-1)               # (m, 2)
+        rows, cols = self.a_idx[:, 0], self.a_idx[:, 1]
+        AtV = jnp.zeros((self.n, 2), self.dtype).at[cols].add(
+            self.a_data[:, None] * Y[rows, :])
         return AtV[..., 0], AtV[..., 1]
 
     def diag_K(self, active, mu, sigma, proximal: bool):
         """diag(K) in O(nnz) without forming K: diag(Q) + sigma +
         sum_i (active_i/mu_i) * A_{ij}^2 per column j."""
         w = active / mu
-        rows = self.A.indices[:, 0]
-        cols = self.A.indices[:, 1]
+        rows, cols = self.a_idx[:, 0], self.a_idx[:, 1]
         d = jnp.zeros_like(self.diagQ).at[cols].add(
-            w[rows] * jnp.square(self.A.data))
+            w[rows] * jnp.square(self.a_data))
         d = d + self.diagQ
         if proximal:
             d = d + sigma
@@ -343,14 +360,14 @@ class SparseOperator(NamedTuple):
         inherently sequential.  Blocks whose Cholesky fails (numerically
         semidefinite) fall back to Jacobi rows."""
         b = settings.precond_block
-        n = self.Q.shape[-1]
+        n = self.n
         nb = -(-n // b)
         dt = self.dtype
         t1, t2, rows_p, blk, o1, o2 = self.pjA
-        vals = self.A.data[t1] * self.A.data[t2] * w[rows_p]
+        vals = self.a_data[t1] * self.a_data[t2] * w[rows_p]
         B = jnp.zeros((nb, b, b), dt).at[blk, o1, o2].add(vals)
         tq, qblk, qo1, qo2 = self.pjQ
-        B = B.at[qblk, qo1, qo2].add(self.Q.data[tq])
+        B = B.at[qblk, qo1, qo2].add(self.q_data[tq])
         idx = jnp.arange(b)
         diag = B[:, idx, idx]
         shift = sigma if settings.proximal else jnp.asarray(0.0, dt)
@@ -387,7 +404,7 @@ class SparseOperator(NamedTuple):
         proximal = settings.proximal
 
         def Kmv(v):
-            Kv = self.Q @ v + self.At @ (w * (self.A @ v))
+            Kv = self.Qmv(v) + self.Atmv(w * self.Amv(v))
             if proximal:
                 Kv = Kv + sigma * v
             return Kv
@@ -406,23 +423,8 @@ class SparseOperator(NamedTuple):
 
     def cast(self, dtype) -> "SparseOperator":
         from_dt = self.dtype
-        from jax.experimental import sparse as jsparse
-
-        def cast_leaf(a):
-            return a.astype(dtype) if a.dtype == from_dt else a
-
-        def cast_bcoo(M):
-            return jsparse.BCOO((M.data.astype(dtype), M.indices),
-                                shape=M.shape,
-                                indices_sorted=M.indices_sorted,
-                                unique_indices=M.unique_indices)
-
-        return SparseOperator(
-            Q=cast_bcoo(self.Q), A=cast_bcoo(self.A), At=cast_bcoo(self.At),
-            pjA=self.pjA, pjQ=self.pjQ,
-            **{f: cast_leaf(getattr(self, f))
-               for f in ("diagQ", "q", "l", "u", "c", "D", "Dinv", "E",
-                         "Einv", "cost", "cinv", "l_finite", "u_finite")})
+        return jax.tree.map(
+            lambda a: a.astype(dtype) if a.dtype == from_dt else a, self)
 
 
 # ---------------------------------------------------------------------------

@@ -2,7 +2,7 @@
 
 The large-n ingestion path (reference: qpdo_setup's CHOLMOD deep-copy +
 scale_data, src/qpdo.c:49-212 + src/scaling.c:24-91).  All scaling passes
-run on the BCOO triplets directly — O(nnz) segment reductions instead of
+run on the COO triplets directly — O(nnz) segment reductions instead of
 dense row/col sweeps — with semantics identical to the dense path
 (solver/scaling.py): Ruiz on A only, limit_scaling floor, cost scalar
 c = 1/max(1, ||D q||_inf), bounds scaled by E.
@@ -15,28 +15,36 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import sparse as jsparse
 
 from .. import constants as _c
 from ..operators import SparseOperator
 from .scaling import limit_scaling
 
 
-def _as_bcoo(M, dtype, shape=None):
-    """Accept scipy.sparse, BCOO, or dense array-like; return BCOO."""
-    if isinstance(M, jsparse.BCOO):
-        return M.astype(dtype) if M.dtype != dtype else M
+def _as_triplets(M, dtype):
+    """Accept scipy.sparse, BCOO, or dense array-like; return
+    (data, indices (nse, 2) int32, shape) in row-sorted COO order."""
+    try:
+        from jax.experimental import sparse as jsparse
+        if isinstance(M, jsparse.BCOO):
+            Ms = jsparse.bcoo_sort_indices(M)
+            return (jnp.asarray(Ms.data, dtype),
+                    jnp.asarray(Ms.indices, jnp.int32), M.shape)
+    except ImportError:  # pragma: no cover
+        pass
     try:
         import scipy.sparse as sps
         if sps.issparse(M):
-            coo = M.tocoo()
-            indices = jnp.asarray(
-                np.stack([coo.row, coo.col], axis=1), jnp.int32)
-            return jsparse.BCOO((jnp.asarray(coo.data, dtype), indices),
-                                shape=coo.shape)
+            coo = M.tocsr().tocoo()   # csr->coo gives row-sorted triplets
+            return (jnp.asarray(coo.data, dtype),
+                    jnp.asarray(np.stack([coo.row, coo.col], axis=1),
+                                jnp.int32), coo.shape)
     except ImportError:  # pragma: no cover
         pass
-    return jsparse.BCOO.fromdense(jnp.asarray(M, dtype))
+    Md = np.asarray(M, dtype)
+    r, c = np.nonzero(Md)
+    return (jnp.asarray(Md[r, c], dtype),
+            jnp.asarray(np.stack([r, c], axis=1), jnp.int32), Md.shape)
 
 
 def _block_jacobi_indices(a_indices, q_indices, n, block: int,
@@ -102,9 +110,8 @@ def setup_sparse(Q, q, A, l, u, c=0.0, scaling_iters: int = _c.SCALING,
 
     q = jnp.asarray(q, dtype).reshape(-1)
     n = q.shape[0]
-    Qb = _as_bcoo(Q, dtype)
-    Ab = _as_bcoo(A, dtype)
-    m = Ab.shape[0]
+    q_data, q_idx, _ = _as_triplets(Q, dtype)
+    a_data, a_idx, (m, _) = _as_triplets(A, dtype)
 
     inf = jnp.asarray(_c.QPDO_INFTY, dtype)
     l = jnp.clip(jnp.asarray(l, dtype).reshape(-1), -inf, inf)
@@ -113,15 +120,15 @@ def setup_sparse(Q, q, A, l, u, c=0.0, scaling_iters: int = _c.SCALING,
     u_finite = (u < inf).astype(dtype)
 
     one = jnp.asarray(1.0, dtype)
-    a_data, a_idx = Ab.data, Ab.indices
     rows, cols = a_idx[:, 0], a_idx[:, 1]
+    qi, qj = q_idx[:, 0], q_idx[:, 1]
 
     if scaling_iters == 0:
         D = jnp.ones((n,), dtype)
         E = jnp.ones((m,), dtype)
         cost = one
         q_s = q
-        Qb_s, Ab_s = Qb, Ab
+        q_data_s, a_data_s = q_data, a_data
         l_s, u_s = l, u
     else:
         # Ruiz on A's triplets (scaling.c:36-63 semantics, O(nnz) per pass)
@@ -139,39 +146,25 @@ def setup_sparse(Q, q, A, l, u, c=0.0, scaling_iters: int = _c.SCALING,
             0, scaling_iters, body,
             (a_data, jnp.ones((n,), dtype), jnp.ones((m,), dtype)))
         # Q <- D Q D, q <- D q, cost scalar (scaling.c:65-79)
-        qi, qj = Qb.indices[:, 0], Qb.indices[:, 1]
-        q_data_s = Qb.data * D[qi] * D[qj]
+        q_data_s = q_data * D[qi] * D[qj]
         q_s = q * D
         cost = one / jnp.maximum(one, jnp.max(jnp.abs(q_s)))
         q_s = q_s * cost
         q_data_s = q_data_s * cost
         l_s, u_s = E * l, E * u
-        Qb_s = jsparse.BCOO((q_data_s, Qb.indices), shape=(n, n),
-                            indices_sorted=Qb.indices_sorted,
-                            unique_indices=Qb.unique_indices)
-        Ab_s = jsparse.BCOO((a_data_s, a_idx), shape=(m, n),
-                            indices_sorted=Ab.indices_sorted,
-                            unique_indices=Ab.unique_indices)
 
-    # A' stored with its own (sorted-by-column) index array so both matvec
-    # directions scatter contiguously
-    At_idx = jnp.stack([Ab_s.indices[:, 1], Ab_s.indices[:, 0]], axis=1)
-    At = jsparse.BCOO((Ab_s.data, At_idx), shape=(n, m),
-                      unique_indices=Ab_s.unique_indices)
-    At = jsparse.bcoo_sort_indices(At)
-
-    qi, qj = Qb_s.indices[:, 0], Qb_s.indices[:, 1]
     diagQ = jnp.zeros((n,), dtype).at[qi].add(
-        jnp.where(qi == qj, Qb_s.data, 0.0))
+        jnp.where(qi == qj, q_data_s, 0.0))
 
     pjA = pjQ = None
     if precond == "block_jacobi":
-        pjA, pjQ = _block_jacobi_indices(np.asarray(Ab_s.indices),
-                                         np.asarray(Qb_s.indices),
+        pjA, pjQ = _block_jacobi_indices(np.asarray(a_idx),
+                                         np.asarray(q_idx),
                                          n, precond_block)
 
     return SparseOperator(
-        Q=Qb_s, A=Ab_s, At=At, diagQ=diagQ, q=q_s, l=l_s, u=u_s,
+        q_data=q_data_s, q_idx=q_idx, a_data=a_data_s, a_idx=a_idx,
+        diagQ=diagQ, q=q_s, l=l_s, u=u_s,
         c=jnp.asarray(c, dtype), D=D, Dinv=one / D, E=E, Einv=one / E,
         cost=cost, cinv=one / cost, l_finite=l_finite, u_finite=u_finite,
         pjA=pjA, pjQ=pjQ)

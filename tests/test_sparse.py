@@ -176,3 +176,31 @@ def test_sparse_verbose_and_max_time(capsys):
                            settings=qt.Settings(eps_abs=1e-300,
                                                 max_time=1e-6))
     assert int(res2.info.status_val) == qt.MAX_TIME_REACHED
+
+
+def test_sparse_batch_vmap():
+    """solve_sparse_batch: lock-step vmapped solving of same-pattern
+    sparse instances matches per-instance solves."""
+    rng = np.random.default_rng(0)
+    n, m, B = 50, 40, 3
+    A_pat = sps.random(m, n, density=0.2, random_state=1, format="csr")
+    A_pat.data[:] = rng.standard_normal(A_pat.nnz)
+    Bm = sps.random(n, n, density=0.1, random_state=2, format="csr")
+    Q_pat = (Bm.T @ Bm + 0.1 * sps.eye(n)).tocsr()
+
+    probs = []
+    for b in range(B):
+        Qb = Q_pat.copy()
+        Qb.data = Qb.data * (1 + 0.1 * rng.random(Qb.nnz))
+        Ab = A_pat.copy()
+        Ab.data = Ab.data + 0.05 * rng.standard_normal(Ab.nnz)
+        probs.append((Qb, rng.standard_normal(n), Ab,
+                      -np.ones(m), np.ones(m)))
+
+    res = qt.solve_sparse_batch(probs)
+    assert res.x.shape == (B, n)
+    for b in range(B):
+        assert int(res.info.status_val[b]) == qt.SOLVED
+        single = qt.solve_sparse(*probs[b])
+        np.testing.assert_allclose(np.asarray(res.x[b]),
+                                   np.asarray(single.x), atol=1e-8)

@@ -265,10 +265,13 @@ def main(argv=None):
         suite = suite[: args.count]
 
     # max_iter 10000 = the reference's own default cap (constants.h:45);
-    # LISWET-family instances legitimately need ~n iterations
+    # LISWET-family instances legitimately need ~n iterations.  The
+    # wall-clock cap bounds the suite runtime (a capped instance counts as
+    # unsolved — reported honestly, never hidden).
     settings = qt.Settings(eps_abs=args.eps, max_iter=10000,
                            inner_max_iter=100, eps_abs_in=0.1,
-                           rho=0.02, delta=0.1)
+                           rho=0.02, delta=0.1, max_time=900.0,
+                           precond_block=128)
 
     per_family = {}
     rows = []

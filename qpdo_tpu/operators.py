@@ -284,6 +284,13 @@ class SparseOperator(NamedTuple):
     #   pjQ = (t, blk, o1, o2): Q entries inside diagonal blocks
     pjA: Any = None
     pjQ: Any = None
+    # Optional coarse-grid correction maps (two-level preconditioner):
+    #   pcA = (t1, t2, rows, J1, J2): same-row nonzero pairs -> coarse
+    #         cells of P'(A'WA)P;  pcQ = (J1, J2): Q entries -> coarse
+    #         cells;  pc_counts = aggregate sizes (for the sigma term)
+    pcA: Any = None
+    pcQ: Any = None
+    pc_counts: Any = None
 
     @property
     def dtype(self):
@@ -380,6 +387,10 @@ class SparseOperator(NamedTuple):
         dj = jnp.concatenate([dinv_jacobi, jnp.ones((pad,), dt)]) \
             if pad else dinv_jacobi
 
+        coarse = None
+        if settings.precond_two_level and self.pcA is not None:
+            coarse = self._coarse_apply(w, sigma, settings)
+
         def apply(r):
             rp = jnp.concatenate([r, jnp.zeros((pad,), dt)]) if pad else r
             rb = rp.reshape(nb, b, 1)
@@ -388,9 +399,53 @@ class SparseOperator(NamedTuple):
                                                   trans=1)[..., 0]
             zj = dj.reshape(nb, b) * rb[..., 0]
             z = jnp.where(ok[:, None], z, zj)
-            return z.reshape(-1)[:n] if pad else z.reshape(-1)
+            z = z.reshape(-1)[:n] if pad else z.reshape(-1)
+            if coarse is not None:
+                z = z + coarse(r)
+            return z
 
         return apply
+
+    def _coarse_apply(self, w, sigma, settings: Settings):
+        """Two-level additive coarse correction r -> P Kc^{-1} P' r with
+        P = piecewise-constant aggregation of ``precond_block`` columns.
+
+        Block-Jacobi removes coupling *inside* blocks; the coarse solve
+        removes the low-frequency modes spanning blocks — the modes that
+        make CG iteration counts grow with n on PDE/banded KKT systems
+        (LISWET/AUG-style).  Kc = P'KP is assembled matrix-free in O(nnz)
+        from setup-precomputed scatter maps and dense-factored at size
+        nc = ceil(n / block)."""
+        dt = self.dtype
+        n = self.n
+        b = settings.precond_block
+        nc = self.pc_counts.shape[0]
+        t1, t2, rows_p, J1, J2 = self.pcA
+        vals = self.a_data[t1] * self.a_data[t2] * w[rows_p]
+        Kc = jnp.zeros((nc, nc), dt).at[J1, J2].add(vals)
+        qJ1, qJ2 = self.pcQ
+        Kc = Kc.at[qJ1, qJ2].add(self.q_data)
+        counts = self.pc_counts.astype(dt)
+        diag_idx = jnp.arange(nc)
+        shift = sigma if settings.proximal else jnp.asarray(0.0, dt)
+        Kc = Kc.at[diag_idx, diag_idx].add(shift * counts)
+        # relative regularization keeps a semidefinite coarse matrix
+        # factorizable; NaN factor disables the correction entirely
+        tr = jnp.sum(jnp.abs(jnp.diagonal(Kc))) / nc
+        Kc = Kc.at[diag_idx, diag_idx].add(1e-10 * tr + 1e-30)
+        cholc = jnp.linalg.cholesky(Kc)
+        ok = jnp.all(jnp.isfinite(cholc))
+        cgrid = jnp.arange(n) // b
+
+        def coarse(r):
+            rc = jnp.zeros((nc,), dt).at[cgrid].add(r)
+            z = jax.scipy.linalg.solve_triangular(cholc, rc, lower=True)
+            z = jax.scipy.linalg.solve_triangular(cholc, z, lower=True,
+                                                  trans=1)
+            z = jnp.where(ok, z, 0.0)
+            return z[cgrid]
+
+        return coarse
 
     def newton_solve(self, active, mu, sigma, rhs, settings: Settings,
                      dx_prev=None):

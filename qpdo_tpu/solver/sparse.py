@@ -92,6 +92,43 @@ def _block_jacobi_indices(a_indices, q_indices, n, block: int,
     return pjA, pjQ
 
 
+def _coarse_indices(a_indices, q_indices, n, block: int,
+                    pair_cap_factor: float = 40.0):
+    """Precompute the scatter maps of the coarse-grid correction
+    (host-side): P = piecewise-constant aggregation of ``block`` columns,
+    Kc = P'KP.  The A'WA part of Kc is the sum over ALL same-row nonzero
+    pairs of ``w_r a1 a2`` scattered to their coarse columns (J = col //
+    block); the Q part scatters every entry to its coarse cell.  Returns
+    (pcA, pcQ, counts) or (None, None, None) when pair enumeration would
+    exceed the cap (then no coarse level is used)."""
+    rows = np.asarray(a_indices[:, 0], np.int64)
+    cols = np.asarray(a_indices[:, 1], np.int64)
+    nc = -(-n // block)
+    order = np.argsort(rows, kind="stable")
+    rs = rows[order]
+    grp_start = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
+    sizes = np.diff(np.r_[grp_start, len(rs)])
+    n_pairs = int(np.sum(sizes.astype(np.int64) ** 2))
+    if n_pairs > pair_cap_factor * max(len(rows), 1):
+        return None, None, None
+    sq = sizes ** 2
+    starts_rep = np.repeat(grp_start, sq)
+    pid = np.arange(n_pairs) - np.repeat(np.cumsum(sq) - sq, sq)
+    s_rep = np.repeat(sizes, sq)
+    t1 = order[starts_rep + pid // s_rep]
+    t2 = order[starts_rep + pid % s_rep]
+    pcA = (jnp.asarray(t1, jnp.int32), jnp.asarray(t2, jnp.int32),
+           jnp.asarray(rows[t1], jnp.int32),
+           jnp.asarray(cols[t1] // block, jnp.int32),
+           jnp.asarray(cols[t2] // block, jnp.int32))
+    qi = np.asarray(q_indices[:, 0], np.int64)
+    qj = np.asarray(q_indices[:, 1], np.int64)
+    pcQ = (jnp.asarray(qi // block, jnp.int32),
+           jnp.asarray(qj // block, jnp.int32))
+    counts = np.bincount(np.arange(n) // block, minlength=nc).astype(float)
+    return pcA, pcQ, jnp.asarray(counts)
+
+
 def setup_sparse(Q, q, A, l, u, c=0.0, scaling_iters: int = _c.SCALING,
                  dtype=None, precond: str = "block_jacobi",
                  precond_block: int = 64) -> SparseOperator:
@@ -157,14 +194,19 @@ def setup_sparse(Q, q, A, l, u, c=0.0, scaling_iters: int = _c.SCALING,
         jnp.where(qi == qj, q_data_s, 0.0))
 
     pjA = pjQ = None
+    pcA = pcQ = pc_counts = None
     if precond == "block_jacobi":
         pjA, pjQ = _block_jacobi_indices(np.asarray(a_idx),
                                          np.asarray(q_idx),
                                          n, precond_block)
+        if pjA is not None:
+            pcA, pcQ, pc_counts = _coarse_indices(np.asarray(a_idx),
+                                                  np.asarray(q_idx),
+                                                  n, precond_block)
 
     return SparseOperator(
         q_data=q_data_s, q_idx=q_idx, a_data=a_data_s, a_idx=a_idx,
         diagQ=diagQ, q=q_s, l=l_s, u=u_s,
         c=jnp.asarray(c, dtype), D=D, Dinv=one / D, E=E, Einv=one / E,
         cost=cost, cinv=one / cost, l_finite=l_finite, u_finite=u_finite,
-        pjA=pjA, pjQ=pjQ)
+        pjA=pjA, pjQ=pjQ, pcA=pcA, pcQ=pcQ, pc_counts=pc_counts)

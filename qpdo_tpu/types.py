@@ -169,6 +169,11 @@ class Settings:
     precond: str = "block_jacobi"
     # Block size of the block-Jacobi preconditioner.
     precond_block: int = 64
+    # Two-level preconditioning: add a coarse-grid correction
+    # (piecewise-constant aggregates of precond_block columns, dense
+    # coarse factor) on top of block-Jacobi — removes the low-frequency
+    # modes that make CG counts grow with n on PDE/banded KKT systems.
+    precond_two_level: bool = True
     # Matmul precision for the float32 warmup phase only (it targets
     # warmup_eps ~ 1e-3, so "tensorfloat32" 3-pass arithmetic can be a
     # faster choice than "highest" on TPU).

@@ -270,8 +270,8 @@ def main(argv=None):
     # unsolved — reported honestly, never hidden).
     settings = qt.Settings(eps_abs=args.eps, max_iter=10000,
                            inner_max_iter=100, eps_abs_in=0.1,
-                           rho=0.02, delta=0.1, max_time=900.0,
-                           precond_block=128)
+                           rho=0.02, delta=0.1, max_time=1800.0,
+                           precond_block=64)
 
     per_family = {}
     rows = []

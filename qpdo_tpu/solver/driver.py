@@ -47,6 +47,19 @@ def _step(sp, settings, state):
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
+def _reanchor(sp, settings, state):
+    return core.reanchor(sp, settings, state)
+
+
+def _mixed_mode(sp, settings) -> bool:
+    import jax.numpy as jnp
+    op = core.as_operator(sp)
+    return (settings.phase2_gemm_dtype is not None
+            and jnp.dtype(settings.phase2_gemm_dtype) != op.dtype
+            and hasattr(op, "Amv_mixed"))
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
 def _finalize(sp, settings, state, unsolved_status):
     return core.finalize(sp, settings, state, unsolved_status)
 
@@ -68,12 +81,18 @@ def solve_driven(sp: ScaledProblem, settings: Settings, x0, y0,
     verbose = settings.verbose
     timed_out = False
 
+    # the single-step verbose loop bypasses run_loop's nested anchoring, so
+    # re-anchor from the host at the same cadence in mixed-GEMM mode
+    mixed = _mixed_mode(sp, settings)
+
     if verbose:
         printing.print_header()
         prev = s
         while int(s.status) == _c.UNSOLVED and int(s.iter) < settings.max_iter:
             prev = s
             s = _step(sp, settings, s)
+            if mixed and int(s.iter) % settings.anchor_every == 0:
+                s = _reanchor(sp, settings, s)
             it = int(prev.iter)
             if it % settings.print_interval == 0:
                 printing.print_iteration(

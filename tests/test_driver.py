@@ -45,3 +45,22 @@ def test_max_time_not_reached():
     res = qt.solve(qt.make_problem(Q, q, A, l, u),
                    qt.Settings(max_time=120.0))
     assert int(res.info.status_val) == qt.SOLVED
+
+
+def test_verbose_mixed_mode_anchored(capsys):
+    """The verbose single-step driver re-anchors the caches in mixed-GEMM
+    mode (run_loop's nested anchor is bypassed there)."""
+    import qpdo_tpu as qt
+    from utils import kkt_residuals, random_qp
+
+    Q, q, A, l, u = random_qp(30, 45, seed=77)
+    p = qt.make_problem(Q, q, A, l, u)
+    s = qt.Settings(verbose=True, phase2_gemm_dtype="float32",
+                    kkt_dtype="float32", refine_steps=2, mu_min=1e-7,
+                    max_iter=300)
+    res = qt.solve(p, s)
+    capsys.readouterr()
+    assert int(res.info.status_val) == qt.SOLVED
+    rp, rd = kkt_residuals(Q, q, A, l, u, np.asarray(res.x),
+                           np.asarray(res.y))
+    assert rp < 1e-6 and rd < 1e-6

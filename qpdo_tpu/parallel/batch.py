@@ -74,6 +74,8 @@ def _solve_batch_compact(problems: Problem, settings: Settings, x0, y0,
 
     def run_compact(sp_b, stg, state, iter_cap):
         step_v = jax.vmap(lambda sp1, s1: core.step(sp1, stg, s1))
+        mixed = (stg.phase2_gemm_dtype is not None
+                 and jnp.dtype(stg.phase2_gemm_dtype) != sps.data.Q.dtype)
 
         def active_of(st):
             return (st.status == _c.UNSOLVED) & (st.iter < iter_cap)
@@ -83,13 +85,27 @@ def _solve_batch_compact(problems: Problem, settings: Settings, x0, y0,
         # freezes status-latched ones) or per-problem iteration counts
         # diverge from the non-compact path when hybrid warmup leaves the
         # batch with skewed iter counters
-        def body1(st):
+        def masked_step(st):
             act = active_of(st)
             new = step_v(sp_b, st)
             return jax.tree.map(
                 lambda a, b: jnp.where(
                     act.reshape(act.shape + (1,) * (a.ndim - 1)), a, b),
                 new, st)
+
+        if mixed:
+            # mixed-GEMM mode: re-anchor the caches every anchor_every
+            # steps (core.run_loop does this per problem; here the anchor
+            # cadence is batch-global, which bounds drift identically)
+            reanchor_v = jax.vmap(
+                lambda sp1, s1: core.reanchor(sp1, stg, s1))
+
+            def body1(st):
+                st = jax.lax.fori_loop(
+                    0, stg.anchor_every, lambda _, t: masked_step(t), st)
+                return reanchor_v(sp_b, st)
+        else:
+            body1 = masked_step
 
         def cond1(st):
             return jnp.sum(active_of(st)) > K

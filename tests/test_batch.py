@@ -137,3 +137,37 @@ def test_batch_compact_iter_cap_with_skew():
                                   np.asarray(r2.info.status_val))
     np.testing.assert_array_equal(np.nan_to_num(np.asarray(r1.x)),
                                   np.nan_to_num(np.asarray(r2.x)))
+
+
+def test_compact_mixed_mode_oracle_verified():
+    """Compaction + anchored mixed GEMMs (the TPU bench configuration):
+    every solved member verified against the independent KKT oracle."""
+    import jax.numpy as jnp
+    from qpdo_tpu.parallel.batch import _solve_batch_compact
+    from utils import kkt_residuals, random_qp
+
+    B, n, m = 16, 40, 60
+    rng = np.random.default_rng(0)
+    probs = []
+    for b in range(B):
+        probs.append(random_qp(n, m, seed=500 + b))
+    batch = qt.Problem(
+        Q=jnp.stack([jnp.asarray(p[0]) for p in probs]),
+        q=jnp.stack([jnp.asarray(p[1]) for p in probs]),
+        A=jnp.stack([jnp.asarray(p[2]) for p in probs]),
+        l=jnp.stack([jnp.asarray(p[3]) for p in probs]),
+        u=jnp.stack([jnp.asarray(p[4]) for p in probs]),
+        c=jnp.zeros((B,)))
+    s = qt.Settings(phase2_gemm_dtype="float32", hard_rows=8,
+                    anchor_every=10, kkt_dtype="float32", refine_steps=2,
+                    mu_min=1e-7, cert_dtype="float32",
+                    linesearch="bisect", linesearch_dtype="float32",
+                    hybrid_warmup=True, warmup_eps=1e-4,
+                    eps_abs=1e-6, max_iter=300, inner_max_iter=50,
+                    eps_abs_in=0.1, rho=0.02, delta=0.1)
+    res = _solve_batch_compact(batch, s, None, None, False, False)
+    for b in range(B):
+        assert int(res.info.status_val[b]) == qt.SOLVED, b
+        rp, rd = kkt_residuals(*probs[b], np.asarray(res.x[b]),
+                               np.asarray(res.y[b]))
+        assert rp < 1e-6 and rd < 1e-6, (b, rp, rd)

@@ -226,7 +226,7 @@ class DenseOperator(NamedTuple):
 
     # -- Newton system solve (the factorization event, newton.c:21-49) --
     def newton_solve(self, active, mu, sigma, rhs, settings: Settings,
-                     dx_prev=None):
+                     dx_prev=None, tol_hint=None):
         from .ops.linalg import newton_system_solve
         d = self.sp.data
         return newton_system_solve(d.Q, d.A, active, mu, sigma, rhs,
@@ -448,11 +448,17 @@ class SparseOperator(NamedTuple):
         return coarse
 
     def newton_solve(self, active, mu, sigma, rhs, settings: Settings,
-                     dx_prev=None):
+                     dx_prev=None, tol_hint=None):
         """Matrix-free CG on K dx = rhs, warm-started from the previous
         Newton direction (the systems change slowly across iterations;
         replaces the factorization event of newton.c:21-49 for problems
-        too large to densify)."""
+        too large to densify).
+
+        ``tol_hint`` (the current inner tolerance eps_in) drives an
+        Eisenstat-Walker-style forcing term: early subproblems only need
+        directions accurate to a fraction of eps_in, so the relative CG
+        tolerance is max(cg_tol, 0.05 * eps_in / ||rhs||) capped at 1e-2
+        — the final subproblems still solve to cg_tol."""
         from .ops.cg import pcg
 
         w = active / mu
@@ -470,7 +476,12 @@ class SparseOperator(NamedTuple):
             precond = self._block_jacobi_apply(w, sigma, dinv, settings)
         else:
             precond = dinv
-        dx, _, _ = pcg(Kmv, rhs, precond, settings.cg_tol,
+        tol = settings.cg_tol
+        if tol_hint is not None:
+            rhs_norm = jnp.maximum(jnp.linalg.norm(rhs), 1e-30)
+            tol = jnp.clip(0.05 * tol_hint / rhs_norm,
+                           settings.cg_tol, 1e-2)
+        dx, _, _ = pcg(Kmv, rhs, precond, tol,
                        settings.cg_max_iter, x0=dx_prev)
         # NaN guard, mirroring the dense path (ops/linalg.py:141-145)
         finite = jnp.all(jnp.isfinite(dx))
@@ -583,7 +594,7 @@ class BlockAngularOperator(NamedTuple):
         return (R0[..., 0], Rs[..., 0]), (R0[..., 1], Rs[..., 1])
 
     def newton_solve(self, active, mu, sigma, rhs, settings: Settings,
-                     dx_prev=None):
+                     dx_prev=None, tol_hint=None):
         """Arrow-KKT Schur-complement solve (ops/schur.py algebra, inlined
         so XLA can shard the S axis; one all-reduce per call)."""
         from .ops.linalg import cholesky_solve

@@ -241,7 +241,7 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
     At_ytilde = op.Atmv(ytilde, dtype=kdt)
     rhs = tmap(lambda rd, aty: -(rd + aty), res_dual_in, At_ytilde)
     dx = op.newton_solve(active, s.mu, sigma, rhs, settings,
-                         dx_prev=s.dx_prev)
+                         dx_prev=s.dx_prev, tol_hint=s.eps_in)
     Qdx_pure = op.Qmv(dx, dtype=kdt)
     if mixed:
         Adx = op.Amv_mixed(dx, s.mu, settings.hard_rows, pdt)

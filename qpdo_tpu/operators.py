@@ -291,6 +291,18 @@ class SparseOperator(NamedTuple):
     pcA: Any = None
     pcQ: Any = None
     pc_counts: Any = None
+    # Optional block-tridiagonal direct-solve maps, precomputed when the
+    # KKT pattern is banded (solver/sparse.py:_banded_indices):
+    #   bdA    = (t1, t2, rows, blk, o1, o2): same-row A-pairs -> diagonal
+    #            blocks D_k of K;  bdAsub: pairs one block apart -> the
+    #            sub-diagonal blocks E_k = K[k+1, k]
+    #   bdQ/bdQsub: Q entries -> diagonal / sub-diagonal blocks
+    #   bd_tmpl = int32 (nb, b) zeros (static block geometry carrier)
+    bdA: Any = None
+    bdAsub: Any = None
+    bdQ: Any = None
+    bdQsub: Any = None
+    bd_tmpl: Any = None
 
     @property
     def dtype(self):
@@ -447,12 +459,119 @@ class SparseOperator(NamedTuple):
 
         return coarse
 
+    def newton_exact(self, settings: Settings) -> bool:
+        """Whether newton_solve returns exact (direct-factorization)
+        directions under these settings.  The full-step acceptance
+        (Settings.newton_full_step) is only sound for exact directions:
+        an inexact CG direction can shrink the inner residual while the
+        merit explodes, and the residual-only gate would accept it."""
+        return self.bd_tmpl is not None and settings.newton_direct
+
+    def _banded_solve(self, w, sigma, rhs, settings: Settings):
+        """Exact block-tridiagonal Cholesky solve of K dx = rhs.
+
+        K is assembled block-wise by scatter-adds over the precomputed
+        banded maps (O(nnz)), then factored by a ``lax.scan`` of b x b
+        block steps — L is block-bidiagonal with K = L L'.  This is the
+        banded-pattern replacement of the reference's sparse LDL'
+        factorize+solve (cholmod_interface.c:8-30, 98-102): exact (no CG
+        iteration), O(n b^2) work, O(n b) memory."""
+        dt = self.dtype
+        nb, b = self.bd_tmpl.shape
+        n = self.n
+        pad = nb * b - n
+
+        t1, t2, rows_p, blk, o1, o2 = self.bdA
+        vals = self.a_data[t1] * self.a_data[t2] * w[rows_p]
+        D = jnp.zeros((nb, b, b), dt).at[blk, o1, o2].add(vals)
+        tq, qblk, qo1, qo2 = self.bdQ
+        D = D.at[qblk, qo1, qo2].add(self.q_data[tq])
+        st1, st2, srows, sblk, so1, so2 = self.bdAsub
+        E = jnp.zeros((max(nb - 1, 1), b, b), dt).at[sblk, so1, so2].add(
+            self.a_data[st1] * self.a_data[st2] * w[srows])
+        sq, sqblk, sqo1, sqo2 = self.bdQsub
+        E = E.at[sqblk, sqo1, sqo2].add(self.q_data[sq])
+
+        idx = jnp.arange(b)
+        diag = D[:, idx, idx]
+        shift = sigma if settings.proximal else jnp.asarray(0.0, dt)
+        # lift exactly-zero diagonals (padded tail / untouched variables)
+        bump = jnp.where(diag + shift > 0, shift, shift + 1.0)
+        D = D.at[:, idx, idx].add(bump)
+
+        # reduced-precision factorization + state-dtype refinement, same
+        # contract as the dense path (ops/linalg.newton_system_solve)
+        kdt = jnp.dtype(settings.kkt_dtype) if settings.kkt_dtype else dt
+        if kdt != dt:
+            D, E = D.astype(kdt), E.astype(kdt)
+
+        # block-tridiagonal Cholesky: L_0 = chol(D_0);
+        # M_k' = L_{k-1}^{-1} E_{k-1}';  L_k = chol(D_k - M_k M_k')
+        L0 = jnp.linalg.cholesky(D[0])
+
+        def fstep(Lprev, DE):
+            Dk, Ek = DE
+            Mt = jax.scipy.linalg.solve_triangular(Lprev, Ek.T, lower=True)
+            Lk = jnp.linalg.cholesky(Dk - Mt.T @ Mt)
+            return Lk, (Lk, Mt)
+
+        _, (Ls, Mts) = jax.lax.scan(fstep, L0, (D[1:], E[: nb - 1]))
+
+        def solve(r):
+            r = r.astype(kdt)
+            rp = jnp.concatenate([r, jnp.zeros((pad,), kdt)]) if pad else r
+            rb = rp.reshape(nb, b)
+            # forward: u_k = L_k^{-1} (r_k - M_k u_{k-1})
+            u0 = jax.scipy.linalg.solve_triangular(L0, rb[0], lower=True)
+
+            def fwd(uprev, inp):
+                Lk, Mt, rk = inp
+                uk = jax.scipy.linalg.solve_triangular(
+                    Lk, rk - Mt.T @ uprev, lower=True)
+                return uk, uk
+
+            _, us = jax.lax.scan(fwd, u0, (Ls, Mts, rb[1:]))
+            U = jnp.concatenate([u0[None], us], axis=0)
+            # backward: z_k = L_k^{-T} (u_k - M_{k+1}' z_{k+1})
+            Llast = Ls[-1] if nb > 1 else L0
+            zl = jax.scipy.linalg.solve_triangular(
+                Llast, U[-1], lower=True, trans=1)
+
+            def bwd(znext, inp):
+                Lk, Mtk1, uk = inp
+                zk = jax.scipy.linalg.solve_triangular(
+                    Lk, uk - Mtk1 @ znext, lower=True, trans=1)
+                return zk, zk
+
+            Lall = jnp.concatenate([L0[None], Ls], axis=0)
+            _, zs = jax.lax.scan(bwd, zl, (Lall[:-1], Mts, U[:-1]),
+                                 reverse=True)
+            z = jnp.concatenate([zs, zl[None]], axis=0).reshape(-1)
+            z = z.astype(dt)
+            return z[:n] if pad else z
+
+        dx = solve(rhs)
+        if settings.refine_steps > 0:
+            proximal = settings.proximal
+
+            def Kmv(v):
+                Kv = self.Qmv(v) + self.Atmv(w * self.Amv(v))
+                if proximal:
+                    Kv = Kv + sigma * v
+                return Kv
+
+            for _ in range(settings.refine_steps):
+                dx = dx + solve(rhs - Kmv(dx))
+        finite = jnp.all(jnp.isfinite(dx))
+        return jnp.where(finite, dx, jnp.zeros_like(dx))
+
     def newton_solve(self, active, mu, sigma, rhs, settings: Settings,
                      dx_prev=None, tol_hint=None):
         """Matrix-free CG on K dx = rhs, warm-started from the previous
         Newton direction (the systems change slowly across iterations;
         replaces the factorization event of newton.c:21-49 for problems
-        too large to densify).
+        too large to densify).  Banded patterns take the exact
+        block-tridiagonal direct solve instead (``_banded_solve``).
 
         ``tol_hint`` (the current inner tolerance eps_in) drives an
         Eisenstat-Walker-style forcing term: early subproblems only need
@@ -462,6 +581,8 @@ class SparseOperator(NamedTuple):
         from .ops.cg import pcg
 
         w = active / mu
+        if self.bd_tmpl is not None and settings.newton_direct:
+            return self._banded_solve(w, sigma, rhs, settings)
         proximal = settings.proximal
 
         def Kmv(v):

@@ -281,6 +281,37 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
         Atdy = op.Atmv(dy)
     tau = exact_linesearch(dx, dy, Qdx, Adx, df, s.y, w, s.mu, op.l, op.u,
                            settings.linesearch, settings.linesearch_dtype)
+    exact_newton = getattr(op, "newton_exact", lambda _s: True)(settings)
+    if settings.newton_full_step and exact_newton:
+        # Full-step acceptance: evaluate the inner residual at tau=1 from
+        # the cache increments alone (elementwise only, no GEMMs) and
+        # override the linesearch when the full Newton step shrinks it by
+        # full_step_gamma.  See Settings.newton_full_step.  Only sound
+        # for exact (direct-solve) Newton directions — see
+        # SparseOperator.newton_exact.
+        x_t = tmap(jnp.add, s.x, dx)
+        y_t = tmap(jnp.add, s.y, dy)
+        Ax_t = tmap(jnp.add, s.Ax, Adx)
+        Qx_t = tmap(jnp.add, s.Qx, Qdx_pure)
+        Aty_t = tmap(jnp.add, s.Aty, Atdy)
+        w_t = tmap(lambda Axv, mu, ybar, yv: Axv + mu * (ybar - 0.5 * yv),
+                   Ax_t, s.mu, s.ybar, y_t)
+        rpi_t = tmap(
+            lambda Axv, mu, ybar, yv, wv, l, u:
+            Axv + mu * (ybar - yv) - jnp.clip(wv, l, u),
+            Ax_t, s.mu, s.ybar, y_t, w_t, op.l, op.u)
+        if settings.proximal:
+            df_t = tmap(lambda Qxv, q1, xv, xbar: Qxv + q1 + sigma * (xv - xbar),
+                        Qx_t, op.q, x_t, s.xbar)
+        else:
+            df_t = tmap(lambda Qxv, q1: Qxv + q1, Qx_t, op.q)
+        rdi_t = tmap(jnp.add, df_t, Aty_t)
+        rpi_t_norm = tnorm_inf(tmap(jnp.multiply, op.Einv, rpi_t))
+        rdi_t_norm = tnorm_inf(tmap(jnp.multiply, op.Dinv, rdi_t)) * cinv
+        cur = jnp.maximum(res_prim_in_norm, res_dual_in_norm)
+        trial = jnp.maximum(rpi_t_norm, rdi_t_norm)
+        take_full = (trial <= settings.full_step_gamma * cur) & (tau < one)
+        tau = jnp.where(take_full, one, tau)
     # iterate + cache updates (iteration.c:19-24); Qx cache is pure Q@x here
     axpy = lambda v, d: tmap(lambda a, b: a + tau * b, v, d)
     x_nwt = axpy(s.x, dx)

@@ -129,9 +129,84 @@ def _coarse_indices(a_indices, q_indices, n, block: int,
     return pcA, pcQ, jnp.asarray(counts)
 
 
+def _banded_indices(a_indices, q_indices, n, max_bw: int = 128,
+                    min_block: int = 8, pair_cap_factor: float = 40.0):
+    """Precompute block-tridiagonal scatter maps for the banded direct
+    Newton solve (host-side, from the static sparsity pattern).
+
+    K = Q + sigma*I + A'WA has bandwidth  bw = max(bw(Q), max row span of
+    A); when bw <= ``max_bw`` the matrix is exactly block-tridiagonal in
+    blocks of size b >= bw, and a block-tridiagonal Cholesky (lax.scan of
+    b x b factorizations) replaces CG entirely — the sparse-*direct*
+    analogue of the reference's CHOLMOD backend (cholmod_interface.c:8-52)
+    for banded patterns (LISWET/QBAND/AUG-style).  Returns
+    (bdA, bdAsub, bdQ, bdQsub, tmpl) or Nones when the pattern does not
+    qualify.  ``tmpl`` is an int32 (nb, b) zeros array carrying the static
+    block geometry (shared, not vmapped, across same-pattern batches).
+    """
+    none = (None,) * 5
+    rows = np.asarray(a_indices[:, 0], np.int64)
+    cols = np.asarray(a_indices[:, 1], np.int64)
+    qi = np.asarray(q_indices[:, 0], np.int64)
+    qj = np.asarray(q_indices[:, 1], np.int64)
+
+    bw_q = int(np.max(np.abs(qi - qj))) if len(qi) else 0
+    if len(rows):
+        cmax = np.full(int(rows.max()) + 1, -1, np.int64)
+        cmin = np.full(int(rows.max()) + 1, np.iinfo(np.int64).max, np.int64)
+        np.maximum.at(cmax, rows, cols)
+        np.minimum.at(cmin, rows, cols)
+        nonempty = cmax >= 0
+        bw_a = int(np.max((cmax - cmin)[nonempty])) if nonempty.any() else 0
+    else:
+        bw_a = 0
+    bw = max(bw_q, bw_a)
+    if bw > max_bw:
+        return none
+    b = max(min_block, -(-max(bw, 1) // min_block) * min_block)
+    if b >= n:  # degenerate: a single dense block — the dense path's job
+        return none
+    nb = -(-n // b)
+
+    # same-row ordered pairs of A (as in _coarse_indices)
+    order = np.argsort(rows, kind="stable")
+    rs = rows[order]
+    grp_start = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
+    sizes = np.diff(np.r_[grp_start, len(rs)])
+    n_pairs = int(np.sum(sizes.astype(np.int64) ** 2))
+    if n_pairs > pair_cap_factor * max(len(rows), 1):
+        return none
+    sq = sizes ** 2
+    starts_rep = np.repeat(grp_start, sq)
+    pid = np.arange(n_pairs) - np.repeat(np.cumsum(sq) - sq, sq)
+    s_rep = np.repeat(sizes, sq)
+    t1 = order[starts_rep + pid // s_rep]
+    t2 = order[starts_rep + pid % s_rep]
+    blk1, blk2 = cols[t1] // b, cols[t2] // b
+    diff = blk1 - blk2                       # in {-1, 0, 1} since b >= bw
+    dsel = diff == 0
+    ssel = diff == 1                         # sub-diagonal E_k = K[k+1, k]
+    mk = lambda a, sel, dt=np.int32: jnp.asarray(a[sel].astype(dt))
+    bdA = (mk(t1, dsel), mk(t2, dsel), mk(rows[t1], dsel),
+           mk(blk1, dsel), mk(cols[t1] % b, dsel), mk(cols[t2] % b, dsel))
+    bdAsub = (mk(t1, ssel), mk(t2, ssel), mk(rows[t1], ssel),
+              mk(blk2, ssel), mk(cols[t1] % b, ssel), mk(cols[t2] % b, ssel))
+
+    qb1, qb2 = qi // b, qj // b
+    qdiff = qb1 - qb2
+    qd = qdiff == 0
+    qs = qdiff == 1
+    tq = np.arange(len(qi))
+    bdQ = (mk(tq, qd), mk(qb1, qd), mk(qi % b, qd), mk(qj % b, qd))
+    bdQsub = (mk(tq, qs), mk(qb2, qs), mk(qi % b, qs), mk(qj % b, qs))
+    tmpl = jnp.zeros((nb, b), jnp.int32)
+    return bdA, bdAsub, bdQ, bdQsub, tmpl
+
+
 def setup_sparse(Q, q, A, l, u, c=0.0, scaling_iters: int = _c.SCALING,
                  dtype=None, precond: str = "block_jacobi",
-                 precond_block: int = 64) -> SparseOperator:
+                 precond_block: int = 64,
+                 banded_max_bw: int = 128) -> SparseOperator:
     """Build a scaled SparseOperator from sparse (or dense) Q/A.
 
     ``Q`` must be the full symmetric matrix (both triangles), as in
@@ -139,6 +214,11 @@ def setup_sparse(Q, q, A, l, u, c=0.0, scaling_iters: int = _c.SCALING,
     array-likes.  Host-side (the scaling loop runs as traced jnp ops but
     the construction itself is eager); the returned operator is a pytree —
     feed it to jitted solver entry points.
+
+    When the KKT pattern's bandwidth is <= ``banded_max_bw`` the operator
+    carries block-tridiagonal maps and Newton systems are solved by an
+    exact banded direct factorization instead of CG (``_banded_indices``);
+    0 disables the detection.
     """
     if dtype is None:
         dtype = jnp.zeros(0).dtype if not jax.config.jax_enable_x64 \
@@ -195,6 +275,12 @@ def setup_sparse(Q, q, A, l, u, c=0.0, scaling_iters: int = _c.SCALING,
 
     pjA = pjQ = None
     pcA = pcQ = pc_counts = None
+    bdA = bdAsub = bdQ = bdQsub = bd_tmpl = None
+    if banded_max_bw > 0:
+        bdA, bdAsub, bdQ, bdQsub, bd_tmpl = _banded_indices(
+            np.asarray(a_idx), np.asarray(q_idx), n, banded_max_bw)
+    # Preconditioner maps are built even when the banded direct maps exist:
+    # Settings.newton_direct=False is a supported opt-out onto the CG path.
     if precond == "block_jacobi":
         pjA, pjQ = _block_jacobi_indices(np.asarray(a_idx),
                                          np.asarray(q_idx),
@@ -209,4 +295,5 @@ def setup_sparse(Q, q, A, l, u, c=0.0, scaling_iters: int = _c.SCALING,
         diagQ=diagQ, q=q_s, l=l_s, u=u_s,
         c=jnp.asarray(c, dtype), D=D, Dinv=one / D, E=E, Einv=one / E,
         cost=cost, cinv=one / cost, l_finite=l_finite, u_finite=u_finite,
-        pjA=pjA, pjQ=pjQ, pcA=pcA, pcQ=pcQ, pc_counts=pc_counts)
+        pjA=pjA, pjQ=pjQ, pcA=pcA, pcQ=pcQ, pc_counts=pc_counts,
+        bdA=bdA, bdAsub=bdAsub, bdQ=bdQ, bdQsub=bdQsub, bd_tmpl=bd_tmpl)

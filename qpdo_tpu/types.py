@@ -169,6 +169,13 @@ class Settings:
     precond: str = "block_jacobi"
     # Block size of the block-Jacobi preconditioner.
     precond_block: int = 64
+    # Banded direct Newton solves: when the sparse setup detected a
+    # banded KKT pattern (bandwidth <= setup_sparse's banded_max_bw), use
+    # the exact block-tridiagonal Cholesky (operators._banded_solve) in
+    # place of CG — the sparse-direct analogue of the reference's CHOLMOD
+    # factorize+solve (cholmod_interface.c:8-30, 98-102).  False forces
+    # the CG path even when the banded maps exist.
+    newton_direct: bool = True
     # Two-level preconditioning: add a coarse-grid correction
     # (piecewise-constant aggregates of precond_block columns, dense
     # coarse factor) on top of block-Jacobi — removes the low-frequency
@@ -178,6 +185,21 @@ class Settings:
     # warmup_eps ~ 1e-3, so "tensorfloat32" 3-pass arithmetic can be a
     # faster choice than "highest" on TPU).
     warmup_matmul_precision: str = "highest"
+    # Full-Newton-step acceptance ("active-set jump", no reference
+    # equivalent).  After the exact linesearch, also evaluate the inner
+    # residual at the full step tau=1 — zero extra GEMMs, every cache
+    # increment (Adx, Qdx, Atdy) is already in hand — and take tau=1 when
+    # it shrinks the inner residual norm by ``full_step_gamma``.  The
+    # reference's exact linesearch (linesearch.c:8-69) crawls on chained
+    # one-sided constraints (LISWET-style): the merit root lands on the
+    # first hinge breakpoint, so each factorization activates ONE
+    # constraint.  An accepted full step re-estimates the active set from
+    # the full-step w, flipping many rows at once (primal-dual active-set
+    # behaviour); rejected steps fall back to the exact linesearch, so
+    # merit-descent globalization is preserved.  Set False for exact
+    # reference stepping semantics.
+    newton_full_step: bool = True
+    full_step_gamma: float = 0.9
     # Matmul precision for every dot/matvec in the solver.  TPUs default to
     # bfloat16 passes for float32 matmuls, which silently destroys the
     # residual accuracy the tolerances rely on; "highest" forces full

@@ -133,8 +133,11 @@ def test_block_jacobi_preconditioner_banded():
     A = sps.csr_matrix((vals, (rows, cols)), shape=(m, n))
     l = np.zeros(m)
     u = np.full(m, np.inf)
+    # newton_direct=False: this test exercises the CG *preconditioner*
+    # (the banded pattern would otherwise take the direct path)
     s = qt.Settings(eps_abs=1e-6, max_iter=2000, inner_max_iter=100,
-                    eps_abs_in=0.1, rho=0.02, delta=0.1)
+                    eps_abs_in=0.1, rho=0.02, delta=0.1,
+                    newton_direct=False)
     res = qt.solve_sparse(Q, q, A, l, u, settings=s)
     assert int(res.info.status_val) == qt.SOLVED
     x, y = np.asarray(res.x), np.asarray(res.y)
@@ -204,3 +207,104 @@ def test_sparse_batch_vmap():
         single = qt.solve_sparse(*probs[b])
         np.testing.assert_allclose(np.asarray(res.x[b]),
                                    np.asarray(single.x), atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Banded direct Newton backend (operators._banded_solve)
+# ---------------------------------------------------------------------------
+
+def _liswet_data(n, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 1, n)
+    q = -(np.sin(4 * np.pi * t) + 0.1 * rng.standard_normal(n))
+    Q = sps.eye(n, format="csr") * (1.0 + 1e-3)
+    m = n - 2
+    rows = np.repeat(np.arange(m), 3)
+    cols = (np.arange(m)[:, None] + np.array([0, 1, 2])[None, :]).ravel()
+    vals = np.tile(np.array([1.0, -2.0, 1.0]), m)
+    A = sps.csr_matrix((vals, (rows, cols)), shape=(m, n))
+    return Q, q, A, np.zeros(m), np.full(m, np.inf)
+
+
+def test_banded_detection():
+    """Banded patterns get block-tridiagonal maps; scattered ones don't."""
+    Q, q, A, l, u = _liswet_data(200)
+    op = setup_sparse(Q, q, A, l, u)
+    assert op.bd_tmpl is not None
+    nb, b = op.bd_tmpl.shape
+    assert nb * b >= 200 and b >= 2  # bandwidth 2 pattern
+    # scattered random pattern: bandwidth ~ n -> no banded maps
+    Qd, qd, Ad, ld, ud = random_qp(40, 30, seed=0)
+    op2 = setup_sparse(sps.csr_matrix(Qd), qd, sps.csr_matrix(Ad), ld, ud)
+    assert op2.bd_tmpl is None
+
+
+def test_banded_solve_matches_dense_factorization():
+    """_banded_solve solves the exact same K as a dense solve of the
+    assembled matrix (the ldlchol/ldlsolveLD_rhs contract,
+    cholmod_interface.c:8-30, 98-102)."""
+    Q, q, A, l, u = _liswet_data(150, seed=3)
+    op = setup_sparse(Q, q, A, l, u)
+    assert op.bd_tmpl is not None
+    rng = np.random.default_rng(1)
+    m, n = A.shape
+    mu = 10.0 ** rng.uniform(-6, 0, m)
+    active = (rng.random(m) < 0.6).astype(float)
+    sigma, rhs = 1e-4, rng.standard_normal(n)
+    w = active / mu
+    dx = op._banded_solve(jnp.asarray(w), jnp.asarray(sigma),
+                          jnp.asarray(rhs), qt.Settings())
+    # dense K from the *scaled* operator data
+    Ad = np.zeros((m, n))
+    ai = np.asarray(op.a_idx)
+    Ad[ai[:, 0], ai[:, 1]] = np.asarray(op.a_data)
+    Qd = np.zeros((n, n))
+    qi = np.asarray(op.q_idx)
+    Qd[qi[:, 0], qi[:, 1]] = np.asarray(op.q_data)
+    K = Qd + sigma * np.eye(n) + Ad.T @ (w[:, None] * Ad)
+    dx_ref = np.linalg.solve(K, rhs)
+    np.testing.assert_allclose(np.asarray(dx), dx_ref, atol=1e-9)
+
+
+def test_banded_path_matches_dense_path():
+    """End-to-end: the banded direct path reproduces the dense path's
+    trajectory (both are exact Newton solves, so the full-step acceptance
+    fires identically)."""
+    Q, q, A, l, u = _liswet_data(80, seed=5)
+    dense = qt.solve(qt.make_problem(np.asarray(Q.todense()), q,
+                                     np.asarray(A.todense()), l, u))
+    banded = qt.solve_sparse(Q, q, A, l, u)
+    assert int(dense.info.status_val) == qt.SOLVED
+    assert int(banded.info.status_val) == qt.SOLVED
+    assert int(banded.info.iterations) == int(dense.info.iterations)
+    np.testing.assert_allclose(np.asarray(banded.x), np.asarray(dense.x),
+                               atol=1e-7)
+
+
+def test_banded_batch_vmap():
+    """solve_sparse_batch on a banded pattern (vmapped scan factorization)."""
+    probs = [
+        _liswet_data(60, seed=100 + s) for s in range(3)
+    ]
+    res = qt.solve_sparse_batch(probs)
+    for b in range(3):
+        assert int(res.info.status_val[b]) == qt.SOLVED
+        single = qt.solve_sparse(*probs[b])
+        np.testing.assert_allclose(np.asarray(res.x[b]),
+                                   np.asarray(single.x), atol=1e-8)
+
+
+def test_full_step_acceptance_gating():
+    """newton_full_step only fires with exact Newton directions: the CG
+    path must report newton_exact False, the banded path True."""
+    Q, q, A, l, u = _liswet_data(120, seed=7)
+    op = setup_sparse(Q, q, A, l, u)
+    assert op.newton_exact(qt.Settings()) is True
+    assert op.newton_exact(qt.Settings(newton_direct=False)) is False
+    Qd, qd, Ad, ld, ud = random_qp(30, 20, seed=1)
+    op2 = setup_sparse(sps.csr_matrix(Qd), qd, sps.csr_matrix(Ad), ld, ud)
+    assert bool(op2.newton_exact(qt.Settings())) is False
+    # opt-out reproduces the pure exact-linesearch stepping
+    r_ref = qt.solve(qt.make_problem(Qd, qd, Ad, ld, ud),
+                     qt.Settings(newton_full_step=False))
+    assert int(r_ref.info.status_val) == qt.SOLVED

@@ -467,19 +467,13 @@ class SparseOperator(NamedTuple):
         merit explodes, and the residual-only gate would accept it."""
         return self.bd_tmpl is not None and settings.newton_direct
 
-    def _banded_solve(self, w, sigma, rhs, settings: Settings):
-        """Exact block-tridiagonal Cholesky solve of K dx = rhs.
-
-        K is assembled block-wise by scatter-adds over the precomputed
-        banded maps (O(nnz)), then factored by a ``lax.scan`` of b x b
-        block steps — L is block-bidiagonal with K = L L'.  This is the
-        banded-pattern replacement of the reference's sparse LDL'
-        factorize+solve (cholmod_interface.c:8-30, 98-102): exact (no CG
-        iteration), O(n b^2) work, O(n b) memory."""
+    def _assemble_banded(self, w, sigma, settings: Settings):
+        """Assemble the block-tridiagonal form of K = Q + sigma*I + A'WA
+        by scatter-adds over the precomputed banded maps (O(nnz)).
+        Returns (D, E) in the factorization dtype: D = (nb, b, b) diagonal
+        blocks, E = (nb-1, b, b) sub-diagonal blocks E_k = K[k+1, k]."""
         dt = self.dtype
         nb, b = self.bd_tmpl.shape
-        n = self.n
-        pad = nb * b - n
 
         t1, t2, rows_p, blk, o1, o2 = self.bdA
         vals = self.a_data[t1] * self.a_data[t2] * w[rows_p]
@@ -504,9 +498,17 @@ class SparseOperator(NamedTuple):
         kdt = jnp.dtype(settings.kkt_dtype) if settings.kkt_dtype else dt
         if kdt != dt:
             D, E = D.astype(kdt), E.astype(kdt)
+        return D, E
 
-        # block-tridiagonal Cholesky: L_0 = chol(D_0);
-        # M_k' = L_{k-1}^{-1} E_{k-1}';  L_k = chol(D_k - M_k M_k')
+    @staticmethod
+    def _banded_factor_scan(D, E):
+        """Sequential block-tridiagonal Cholesky: K = L L' with
+        block-bidiagonal L, factored by a ``lax.scan`` of b x b block
+        steps.  O(nb) depth — the CPU/latency-optimal variant.  Returns
+        solve(rb: (nb, b)) -> (nb, b)."""
+        nb = D.shape[0]
+        # L_0 = chol(D_0);  M_k' = L_{k-1}^{-1} E_{k-1}';
+        # L_k = chol(D_k - M_k M_k')
         L0 = jnp.linalg.cholesky(D[0])
 
         def fstep(Lprev, DE):
@@ -517,10 +519,7 @@ class SparseOperator(NamedTuple):
 
         _, (Ls, Mts) = jax.lax.scan(fstep, L0, (D[1:], E[: nb - 1]))
 
-        def solve(r):
-            r = r.astype(kdt)
-            rp = jnp.concatenate([r, jnp.zeros((pad,), kdt)]) if pad else r
-            rb = rp.reshape(nb, b)
+        def solve(rb):
             # forward: u_k = L_k^{-1} (r_k - M_k u_{k-1})
             u0 = jax.scipy.linalg.solve_triangular(L0, rb[0], lower=True)
 
@@ -546,8 +545,113 @@ class SparseOperator(NamedTuple):
             Lall = jnp.concatenate([L0[None], Ls], axis=0)
             _, zs = jax.lax.scan(bwd, zl, (Lall[:-1], Mts, U[:-1]),
                                  reverse=True)
-            z = jnp.concatenate([zs, zl[None]], axis=0).reshape(-1)
-            z = z.astype(dt)
+            return jnp.concatenate([zs, zl[None]], axis=0)
+
+        return solve
+
+    @staticmethod
+    def _banded_factor_cr(D, E):
+        """Block cyclic reduction: eliminate the odd-indexed blocks at
+        every level (each level is one *batched* Cholesky + batched b x b
+        GEMMs over ~k/2 blocks), halving the system until one block
+        remains.  O(log nb) depth, ~2x the flops of the scan variant —
+        the TPU-native trade: the scan factorization serializes nb tiny
+        steps, CR rides the MXU with log2(nb) large batched ops.
+
+        CR on an SPD block-tridiagonal matrix is exact block Gaussian
+        elimination under the odd-even (nested-dissection) permutation:
+        every eliminated pivot block is a principal submatrix of a Schur
+        complement of an SPD matrix, hence SPD itself — stable, no
+        pivoting needed.  Returns solve(rb: (nb, b)) -> (nb, b)."""
+        chs = lambda L, X: jax.scipy.linalg.solve_triangular(
+            L, jax.scipy.linalg.solve_triangular(L, X, lower=True),
+            lower=True, trans=1)
+        zblk = jnp.zeros_like(D[:1])
+
+        levels = []
+        while D.shape[0] > 1:
+            k = D.shape[0]
+            no, ne = k // 2, k - k // 2
+            # odd blocks j = 2t+1, t = 0..no-1; kept evens i = 2e
+            Dodd = D[1::2]
+            Lo = jnp.linalg.cholesky(Dodd)
+            Epad = jnp.concatenate([E[: k - 1], zblk], axis=0)  # (k, b, b)
+            Ejm1 = Epad[0::2][:no]          # E_{j-1} for odd j   (no, b, b)
+            Ej = Epad[1::2][:no]            # E_j (zero when j = k-1)
+            # D_j^{-1} E_{j-1} and D_j^{-1} E_j'
+            Ua = chs(Lo, Ejm1)
+            Ub = chs(Lo, jnp.swapaxes(Ej, -1, -2))
+            # Schur updates onto the kept evens:
+            #   from the left odd (j = 2e-1, t = e-1):  E_j D_j^{-1} E_j'
+            #   from the right odd (j = 2e+1, t = e):   E_{j-1}' D_j^{-1} E_{j-1}
+            left = Ej @ Ub                  # t-indexed; lands on even e = t+1
+            right = jnp.swapaxes(Ejm1, -1, -2) @ Ua   # lands on even e = t
+            Dnew = D[0::2]
+            # when k is even the last odd (j = k-1) has no right even
+            # neighbour — its Ej block is zero-padded, so the dropped
+            # slice tail is exactly the zero contribution
+            Dnew = Dnew.at[1:].add(-left[: ne - 1])
+            Dnew = Dnew.at[:no].add(-right)
+            # new sub-diagonal coupling kept (e, e+1):  -E_j D_j^{-1} E_{j-1}
+            Enew = -(Ej @ Ua)[: ne - 1]
+            levels.append((Lo, Ua, Ub, Ejm1, Ej, k, no, ne))
+            D, E = Dnew, Enew
+        Lfin = jnp.linalg.cholesky(D[0])
+
+        def solve(rb):
+            rs_odd = []
+            r = rb
+            for Lo, Ua, Ub, Ejm1, Ej, k, no, ne in levels:
+                yo = chs(Lo, r[1::2][..., None])[..., 0]      # (no, b)
+                rs_odd.append(yo)
+                rnew = r[0::2]
+                rnew = rnew.at[1:].add(
+                    -(Ej @ yo[..., None])[..., 0][: ne - 1])
+                rnew = rnew.at[:no].add(
+                    -(jnp.swapaxes(Ejm1, -1, -2) @ yo[..., None])[..., 0])
+                r = rnew
+            x = chs(Lfin, r[0][:, None])[:, 0][None]           # (1, b)
+            for (Lo, Ua, Ub, Ejm1, Ej, k, no, ne), yo in zip(
+                    reversed(levels), reversed(rs_odd)):
+                xe = x                                         # (ne, b)
+                xl = xe[:no]                                   # x_{j-1}, e = t
+                xr = jnp.concatenate(                          # x_{j+1}, e = t+1
+                    [xe[1:], jnp.zeros_like(xe[:1])], axis=0)[:no]
+                xo = yo - (Ua @ xl[..., None])[..., 0] \
+                    - (Ub @ xr[..., None])[..., 0]
+                x = jnp.zeros((k,) + xe.shape[1:], xe.dtype)
+                x = x.at[0::2].set(xe).at[1::2].set(xo)
+            return x
+
+        return solve
+
+    def _banded_solve(self, w, sigma, rhs, settings: Settings):
+        """Exact block-tridiagonal direct solve of K dx = rhs — the
+        banded-pattern replacement of the reference's sparse LDL'
+        factorize+solve (cholmod_interface.c:8-30, 98-102): exact (no CG
+        iteration), O(n b^2) work, O(n b) memory.  Two factorization
+        algorithms (Settings.banded_algo): "scan" (sequential block
+        Cholesky, O(nb) depth — CPU) and "cr" (block cyclic reduction,
+        O(log nb) depth of batched MXU ops — TPU); "auto" picks by
+        backend at trace time."""
+        dt = self.dtype
+        nb, b = self.bd_tmpl.shape
+        n = self.n
+        pad = nb * b - n
+        kdt = jnp.dtype(settings.kkt_dtype) if settings.kkt_dtype else dt
+
+        D, E = self._assemble_banded(w, sigma, settings)
+        algo = settings.banded_algo
+        if algo == "auto":
+            algo = "scan" if jax.default_backend() == "cpu" else "cr"
+        factor = (self._banded_factor_cr if algo == "cr"
+                  else self._banded_factor_scan)
+        block_solve = factor(D, E)
+
+        def solve(r):
+            r = r.astype(kdt)
+            rp = jnp.concatenate([r, jnp.zeros((pad,), kdt)]) if pad else r
+            z = block_solve(rp.reshape(nb, b)).reshape(-1).astype(dt)
             return z[:n] if pad else z
 
         dx = solve(rhs)

@@ -176,6 +176,11 @@ class Settings:
     # factorize+solve (cholmod_interface.c:8-30, 98-102).  False forces
     # the CG path even when the banded maps exist.
     newton_direct: bool = True
+    # Banded factorization algorithm: "scan" = sequential block-tridiagonal
+    # Cholesky (O(nb) depth — latency-optimal on CPU), "cr" = block cyclic
+    # reduction (O(log nb) depth of batched MXU block ops, ~2x flops — the
+    # TPU-native variant), "auto" = pick by backend at trace time.
+    banded_algo: str = "auto"
     # Two-level preconditioning: add a coarse-grid correction
     # (piecewise-constant aggregates of precond_block columns, dense
     # coarse factor) on top of block-Jacobi — removes the low-frequency

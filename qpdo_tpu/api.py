@@ -19,11 +19,13 @@ import numpy as np
 from . import constants as _c
 from .solver.core import solve_scaled
 from .solver.driver import solve_driven
-from .solver.scaling import scale_problem, ruiz_equilibrate
+from .solver.scaling import (scale_problem, ruiz_equilibrate,
+                             ruiz_equilibrate_kkt)
 from .types import Problem, Result, ScaledProblem, Scaling, Settings
 from .validate import validate_data, validate_settings
 
-_scale_jit = jax.jit(scale_problem, static_argnames=("scaling_iters",))
+_scale_jit = jax.jit(scale_problem,
+                     static_argnames=("scaling_iters", "ruiz_kkt"))
 
 
 def _needs_host_driver(settings: Settings) -> bool:
@@ -60,7 +62,7 @@ def make_problem(Q, q, A, l, u, c=0.0, dtype=None) -> Problem:
 @functools.partial(jax.jit, static_argnames=("settings", "warm_x", "warm_y"))
 def _solve_full(problem: Problem, settings: Settings, x0, y0,
                 warm_x: bool, warm_y: bool) -> Result:
-    sp = scale_problem(problem, settings.scaling)
+    sp = scale_problem(problem, settings.scaling, settings.ruiz_kkt)
     return solve_scaled(sp, settings, x0, y0, warm_x, warm_y)
 
 
@@ -96,7 +98,8 @@ def solve_sparse(Q, q, A, l, u, c=0.0,
     t0 = time.perf_counter()
     op = setup_sparse(Q, q, A, l, u, c, settings.scaling, dtype,
                       precond=settings.precond,
-                      precond_block=settings.precond_block)
+                      precond_block=settings.precond_block,
+                      ruiz_kkt=settings.ruiz_kkt)
     if x0 is not None:
         x0 = jnp.asarray(x0, op.dtype)
     if y0 is not None:
@@ -132,7 +135,8 @@ def solve_sparse_batch(problems, settings: Optional[Settings] = None,
         c = p[5] if len(p) > 5 else 0.0
         ops.append(setup_sparse(Q, q, A, l, u, c, settings.scaling, dtype,
                                 precond=settings.precond,
-                                precond_block=settings.precond_block))
+                                precond_block=settings.precond_block,
+                                ruiz_kkt=settings.ruiz_kkt))
     base = ops[0]
     for op in ops[1:]:
         if (op.a_idx.shape != base.a_idx.shape
@@ -165,7 +169,7 @@ def solve(problem: Problem, settings: Optional[Settings] = None,
     validate_data(problem)
     if _needs_host_driver(settings):
         t0 = time.perf_counter()
-        sp = _scale_jit(problem, settings.scaling)
+        sp = _scale_jit(problem, settings.scaling, settings.ruiz_kkt)
         return solve_driven(sp, settings, x0, y0,
                             x0 is not None, y0 is not None, t0)
     return _solve_full(problem, settings, x0, y0,
@@ -215,7 +219,8 @@ class QPDO:
         validate_settings(self._settings)
         problem = make_problem(Q, q, A, l, u, c, dtype)
         validate_data(problem)
-        self._sp = _scale_jit(problem, self._settings.scaling)
+        self._sp = _scale_jit(problem, self._settings.scaling,
+                              self._settings.ruiz_kkt)
         self._x0, self._y0 = x0, y0
         self._setup_time = time.perf_counter() - t0
 
@@ -328,10 +333,13 @@ class QPDO:
             extra = settings.scaling - old.scaling
             d = sp.data
             sc = sp.scaling
-            A2, dD, dE = ruiz_equilibrate(d.A, extra)
+            if settings.ruiz_kkt:
+                Q2, A2, dD, dE = ruiz_equilibrate_kkt(d.Q, d.A, extra)
+            else:
+                A2, dD, dE = ruiz_equilibrate(d.A, extra)
+                Q2 = d.Q * dD[:, None] * dD[None, :]
             D = sc.D * dD
             E = sc.E * dE
-            Q2 = d.Q * dD[:, None] * dD[None, :]
             q2 = d.q * dD
             l2 = dE * d.l
             u2 = dE * d.u

@@ -30,7 +30,7 @@ from ..types import Problem, Result, Settings
 def _solve_batch(problems: Problem, settings: Settings, x0, y0,
                  warm_x: bool, warm_y: bool) -> Result:
     def one(p, xw, yw):
-        sp = scale_problem(p, settings.scaling)
+        sp = scale_problem(p, settings.scaling, settings.ruiz_kkt)
         return solve_scaled(sp, settings, xw, yw, warm_x, warm_y)
 
     in_axes = (0, 0 if warm_x else None, 0 if warm_y else None)
@@ -70,7 +70,7 @@ def _solve_batch_compact(problems: Problem, settings: Settings, x0, y0,
     B = problems.q.shape[0]
     K = max(1, B // 4)
 
-    sps = jax.vmap(lambda p: scale_problem(p, settings.scaling))(problems)
+    sps = jax.vmap(lambda p: scale_problem(p, settings.scaling, settings.ruiz_kkt))(problems)
 
     def run_compact(sp_b, stg, state, iter_cap):
         step_v = jax.vmap(lambda sp1, s1: core.step(sp1, stg, s1))

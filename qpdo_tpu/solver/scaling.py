@@ -48,7 +48,44 @@ def ruiz_equilibrate(A: jax.Array, iters: int):
     return jax.lax.fori_loop(0, iters, body, init)
 
 
-def scale_problem(problem: Problem, scaling_iters: int) -> ScaledProblem:
+def ruiz_equilibrate_kkt(Q: jax.Array, A: jax.Array, iters: int):
+    """Ruiz passes on the full KKT structure [[Q, A'], [A, 0]] (the
+    OSQP-style modified Ruiz).  Returns (Q_scaled, A_scaled, D, E) with
+    Q_scaled = diag(D) Q diag(D), A_scaled = diag(E) A diag(D).
+
+    The reference equilibrates A only (scaling.c:36-63), which leaves a
+    wide-scale Q (e.g. diag entries spanning 1e-4..1e4) untouched — the
+    KKT matrix K = Q + sigma*I + A'WA then carries Q's conditioning into
+    every Newton solve and the penalty schedule.  Including Q in the Ruiz
+    iteration bounds every row/column of the scaled KKT structure near 1.
+    Opt-in via ``Settings.ruiz_kkt`` (default False = reference parity).
+
+    Per pass: column j's norm over the primal block is
+    max(||Q_j||_inf, ||A_j||_inf) (Q symmetric, so row norm = column
+    norm); the dual column norm is A's row norm (the zero block adds
+    nothing) — exactly the column norms of the stacked KKT matrix.
+    """
+    m, n = A.shape
+    dt = A.dtype
+
+    def body(_, carry):
+        Q_k, A_k, D, E = carry
+        colQ = jnp.max(jnp.abs(Q_k), axis=0)                      # (n,)
+        colA = jnp.max(jnp.abs(A_k), axis=0)                      # (n,)
+        d = jax.lax.rsqrt(limit_scaling(jnp.maximum(colQ, colA)))
+        e = jax.lax.rsqrt(limit_scaling(jnp.max(jnp.abs(A_k), axis=1)))
+        Q_k = Q_k * d[:, None] * d[None, :]
+        A_k = A_k * e[:, None] * d[None, :]
+        return Q_k, A_k, D * d, E * e
+
+    init = (Q, A, jnp.ones((n,), dt), jnp.ones((m,), dt))
+    if iters == 0:
+        return init
+    return jax.lax.fori_loop(0, iters, body, init)
+
+
+def scale_problem(problem: Problem, scaling_iters: int,
+                  ruiz_kkt: bool = False) -> ScaledProblem:
     """Scale the full problem (reference: scale_data, src/scaling.c:24-91).
 
     Bounds are clamped to +-QPDO_INFTY before scaling, mirroring the MATLAB
@@ -76,10 +113,16 @@ def scale_problem(problem: Problem, scaling_iters: int) -> ScaledProblem:
         q = problem.q.astype(dt)
         cost = one
     else:
-        A, D, E = ruiz_equilibrate(problem.A.astype(dt), scaling_iters)
-        # Q <- D Q D, q <- D q, then cost scalar c = 1/max(1, ||q_scaled||_inf)
+        if ruiz_kkt:
+            Q, A, D, E = ruiz_equilibrate_kkt(
+                problem.Q.astype(dt), problem.A.astype(dt), scaling_iters)
+        else:
+            A, D, E = ruiz_equilibrate(problem.A.astype(dt), scaling_iters)
+            # Q <- D Q D (the reference scales Q once after the A-only
+            # Ruiz, scaling.c:65-71; the KKT variant scales it in-loop)
+            Q = problem.Q.astype(dt) * D[:, None] * D[None, :]
+        # q <- D q, then cost scalar c = 1/max(1, ||q_scaled||_inf)
         # (the Qx cache is zero at setup, scaling.c:72).
-        Q = problem.Q.astype(dt) * D[:, None] * D[None, :]
         q = problem.q.astype(dt) * D
         cost = one / jnp.maximum(one, jnp.max(jnp.abs(q)))
         q = q * cost

@@ -206,7 +206,8 @@ def _banded_indices(a_indices, q_indices, n, max_bw: int = 128,
 def setup_sparse(Q, q, A, l, u, c=0.0, scaling_iters: int = _c.SCALING,
                  dtype=None, precond: str = "block_jacobi",
                  precond_block: int = 64,
-                 banded_max_bw: int = 128) -> SparseOperator:
+                 banded_max_bw: int = 128,
+                 ruiz_kkt: bool = False) -> SparseOperator:
     """Build a scaled SparseOperator from sparse (or dense) Q/A.
 
     ``Q`` must be the full symmetric matrix (both triangles), as in
@@ -219,6 +220,10 @@ def setup_sparse(Q, q, A, l, u, c=0.0, scaling_iters: int = _c.SCALING,
     carries block-tridiagonal maps and Newton systems are solved by an
     exact banded direct factorization instead of CG (``_banded_indices``);
     0 disables the detection.
+
+    ``ruiz_kkt`` equilibrates Q jointly with A (see
+    scaling.ruiz_equilibrate_kkt); default False = reference parity
+    (A-only Ruiz, scaling.c:36-63).
     """
     if dtype is None:
         dtype = jnp.zeros(0).dtype if not jax.config.jax_enable_x64 \
@@ -247,6 +252,32 @@ def setup_sparse(Q, q, A, l, u, c=0.0, scaling_iters: int = _c.SCALING,
         q_s = q
         q_data_s, a_data_s = q_data, a_data
         l_s, u_s = l, u
+    elif ruiz_kkt:
+        # Ruiz on the full KKT structure's triplets (the sparse analogue
+        # of scaling.ruiz_equilibrate_kkt): column norms take the max over
+        # Q's and A's entries per primal column, so a wide-scale Q is
+        # equilibrated jointly with A instead of inheriting its
+        # conditioning (opt-in; default is reference parity below).
+        def body_kkt(_, carry):
+            qdat, adat, D, E = carry
+            absa = jnp.abs(adat)
+            colA = jnp.zeros((n,), dtype).at[cols].max(absa)
+            colQ = jnp.zeros((n,), dtype).at[qj].max(jnp.abs(qdat))
+            rown = jnp.zeros((m,), dtype).at[rows].max(absa)
+            d = jax.lax.rsqrt(limit_scaling(jnp.maximum(colA, colQ)))
+            e = jax.lax.rsqrt(limit_scaling(rown))
+            adat = adat * e[rows] * d[cols]
+            qdat = qdat * d[qi] * d[qj]
+            return qdat, adat, D * d, E * e
+
+        q_data_s, a_data_s, D, E = jax.lax.fori_loop(
+            0, scaling_iters, body_kkt,
+            (q_data, a_data, jnp.ones((n,), dtype), jnp.ones((m,), dtype)))
+        q_s = q * D
+        cost = one / jnp.maximum(one, jnp.max(jnp.abs(q_s)))
+        q_s = q_s * cost
+        q_data_s = q_data_s * cost
+        l_s, u_s = E * l, E * u
     else:
         # Ruiz on A's triplets (scaling.c:36-63 semantics, O(nnz) per pass)
         def body(_, carry):

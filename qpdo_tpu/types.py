@@ -160,6 +160,14 @@ class Settings:
     cg_tol: float = 1e-8
     # Static CG iteration cap (early exit on convergence).
     cg_max_iter: int = 500
+    # Ruiz-equilibrate Q jointly with A over the full KKT structure
+    # [[Q, A'], [A, 0]] (scaling.ruiz_equilibrate_kkt) instead of the
+    # reference's A-only Ruiz (scaling.c:36-63).  Fixes the
+    # iteration-count blowup on wide-scale Q (diag entries spanning many
+    # decades, CVXQP-style) that A-only scaling leaves in every Newton
+    # system; opt-in because it changes the scaled-space trajectory
+    # (results are identical in unscaled space up to tolerance).
+    ruiz_kkt: bool = False
     # Precision of the CG inner solves (matvecs + preconditioner), e.g.
     # "float32" while the state is float64: the O(nnz)-per-iteration hot
     # path runs at native TPU speed inside a state-dtype

@@ -68,3 +68,90 @@ def test_scaling_disabled_identity():
     np.testing.assert_array_equal(np.asarray(sp.scaling.E), np.ones(m))
     assert float(sp.scaling.c) == 1.0
     np.testing.assert_array_equal(np.asarray(sp.data.Q), Q)
+
+
+# ---------------------------------------------------------------------------
+# ruiz_kkt: joint Q/A equilibration (opt-in; scaling.ruiz_equilibrate_kkt)
+# ---------------------------------------------------------------------------
+
+def _wide_scale_qp(n=40, m=25, span=4.0, seed=7):
+    """CVXQP1S-style wide-scale data: columns scaled by 10^{+-span}."""
+    rng = np.random.default_rng(seed)
+    s = 10.0 ** rng.uniform(-span, span, n)
+    M = rng.standard_normal((n, n))
+    Q = (M @ M.T / n + 0.1 * np.eye(n)) * np.outer(s, s)
+    A = rng.standard_normal((m, n)) * s[None, :]
+    q = rng.standard_normal(n) * s
+    return Q, q, A, -np.ones(m), np.ones(m)
+
+
+def test_ruiz_kkt_equilibrates_kkt_norms():
+    """After joint equilibration every row/column of the scaled KKT
+    structure [[Q, A'], [A, 0]] has inf-norm ~1 — including Q's, which
+    A-only Ruiz leaves wild on wide-scale data."""
+    from qpdo_tpu.solver.scaling import ruiz_equilibrate_kkt
+
+    Q, q, A, l, u = _wide_scale_qp()
+    Qs, As, D, E = ruiz_equilibrate_kkt(jnp.asarray(Q), jnp.asarray(A), 10)
+    Qs, As = np.asarray(Qs), np.asarray(As)
+    col = np.maximum(np.max(np.abs(Qs), axis=0), np.max(np.abs(As), axis=0))
+    assert np.allclose(col, 1.0, atol=5e-2)
+    assert np.allclose(np.max(np.abs(As), axis=1), 1.0, atol=5e-2)
+    # exactness of the returned scalings
+    np.testing.assert_allclose(
+        Qs, np.asarray(D)[:, None] * Q * np.asarray(D)[None, :], rtol=1e-10)
+    np.testing.assert_allclose(
+        As, np.asarray(E)[:, None] * A * np.asarray(D)[None, :], rtol=1e-10)
+    # A-only Ruiz leaves the Q block orders of magnitude off on this data
+    from qpdo_tpu.solver.scaling import ruiz_equilibrate
+    _, D_a, _ = ruiz_equilibrate(jnp.asarray(A), 10)
+    Q_a = np.asarray(D_a)[:, None] * Q * np.asarray(D_a)[None, :]
+    assert np.max(np.abs(Q_a)) > 1e2
+
+
+def test_ruiz_kkt_sparse_matches_dense():
+    """The triplet KKT-Ruiz in setup_sparse reproduces the dense one."""
+    import scipy.sparse as sps
+
+    from qpdo_tpu.solver.sparse import setup_sparse
+
+    Q, q, A, l, u = _wide_scale_qp(n=25, m=18, seed=9)
+    op = setup_sparse(sps.csr_matrix(Q), q, sps.csr_matrix(A), l, u,
+                      ruiz_kkt=True)
+    spd = scale_problem(qt.make_problem(Q, q, A, l, u), 10, ruiz_kkt=True)
+    np.testing.assert_allclose(np.asarray(op.D), np.asarray(spd.scaling.D),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.E), np.asarray(spd.scaling.E),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(op.cost), float(spd.scaling.c),
+                               rtol=1e-12)
+    v = np.random.default_rng(0).standard_normal(25)
+    np.testing.assert_allclose(np.asarray(op.Qmv(jnp.asarray(v))),
+                               np.asarray(spd.data.Q @ v), rtol=1e-9)
+
+
+def test_ruiz_kkt_solve_correct():
+    """Solves with ruiz_kkt=True pass the unscaled KKT oracle (dense and
+    sparse paths, plus the stateful API's update_settings composition)."""
+    import scipy.sparse as sps
+
+    Q, q, A, l, u = _wide_scale_qp(seed=11)
+    p = qt.make_problem(Q, q, A, l, u)
+    s = qt.Settings(ruiz_kkt=True, max_iter=20000)
+    for res in (qt.solve(p, s),
+                qt.solve_sparse(sps.csr_matrix(Q), q, sps.csr_matrix(A),
+                                l, u, settings=s)):
+        assert int(res.info.status_val) == qt.SOLVED
+        x, y = np.asarray(res.x), np.asarray(res.y)
+        assert np.max(np.abs(A @ x - np.clip(A @ x + y, l, u))) < 1e-6
+        assert np.max(np.abs(Q @ x + q + A.T @ y)) < 1e-6
+    # update_settings: extra KKT-Ruiz passes compose
+    h = qt.QPDO()
+    h.setup(Q, q, A, l, u, settings=qt.Settings(ruiz_kkt=True, scaling=4,
+                                                max_iter=20000))
+    h.update_settings(qt.Settings(ruiz_kkt=True, scaling=10,
+                                  max_iter=20000))
+    res = h.solve()
+    assert int(res.info.status_val) == qt.SOLVED
+    x, y = np.asarray(res.x), np.asarray(res.y)
+    assert np.max(np.abs(Q @ x + q + A.T @ y)) < 1e-6

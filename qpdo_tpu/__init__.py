@@ -15,6 +15,7 @@ from .constants import (
 )
 from .types import Problem, Settings, Info, Result, ScaledProblem, SolverState
 from .api import solve, solve_sparse, solve_sparse_batch, make_problem, QPDO
+from .continuation import solve_continuation, grid1d_prolong
 from .solver.scaling import scale_problem
 from .solver.core import solve_scaled
 

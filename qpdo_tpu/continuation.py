@@ -1,0 +1,119 @@
+"""Continuation (homotopy) solving: a ladder of related QPs, each
+warm-started from the previous solution.
+
+The reference has no equivalent — its answer to hard instances is "run
+more iterations" (constants.h:45 caps at 1e4).  For discretized problems
+(LISWET/obstacle-type: monotone-spline fitting under second-difference
+constraints) the proximal dual crawls: the multipliers of an order-k
+finite-difference constraint scale like n^k, and the semismooth Newton
+active set moves only a bounded number of rows per iteration, so cold
+iteration counts grow ~n.  Solving a coarse grid first and prolonging
+(primal: interpolation; dual: interpolation x the constraint-scaling
+ratio) hands the fine level a near-converged active set — measured on
+LISWET n=10,000: 98,334 iterations / 1,583 s cold vs 1,777 iterations
+/ 34 s over a 5-level ladder (RESULTS.md "LISWET continuation").
+
+Two pieces:
+
+- ``solve_continuation``: the generic driver — any list of problems (one
+  per level, coarse -> fine) plus a ``prolong`` callback mapping a level's
+  solution to the next level's warm start.  Levels may be dense
+  ``Problem``s (-> ``qt.solve``) or sparse tuples (-> ``qt.solve_sparse``).
+- ``grid1d_prolong``: the prolongation for 1-D grid families (LISWET
+  class): linear interpolation for x; interior-node interpolation scaled
+  by ((n_f-1)/(n_c-1))**order for y, where ``order`` is the
+  finite-difference order of the constraints (2 for second differences —
+  an order-k difference constraint shrinks like h^k, so its multiplier
+  grows like h^-k).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from .types import Problem, Result, Settings
+
+
+def grid1d_prolong(n_coarse: int, n_fine: int, order: int = 2):
+    """Prolongation between two uniform 1-D grids with m = n - order
+    constraint rows (one per interior stencil position).
+
+    Returns ``prolong(x, y) -> (x0, y0)``: x by linear interpolation on
+    [0, 1]; y by interpolation over the constraint-row grid, scaled by
+    ``((n_fine-1)/(n_coarse-1)) ** order`` (the multiplier of an order-k
+    difference constraint scales like h^-k).
+    """
+    tc = np.linspace(0.0, 1.0, n_coarse)
+    tf = np.linspace(0.0, 1.0, n_fine)
+    # constraint row i covers nodes i..i+order; place it at its center
+    rc = tc[:n_coarse - order] + 0.5 * order / max(n_coarse - 1, 1)
+    rf = tf[:n_fine - order] + 0.5 * order / max(n_fine - 1, 1)
+    scale = ((n_fine - 1) / (n_coarse - 1)) ** order
+
+    def prolong(x, y):
+        x = np.asarray(x)
+        y = np.asarray(y)
+        return np.interp(tf, tc, x), np.interp(rf, rc, y) * scale
+
+    return prolong
+
+
+def solve_continuation(problems: Sequence,
+                       settings: Optional[Settings] = None,
+                       prolong: Optional[Callable] = None,
+                       dtype=None,
+                       return_all: bool = False):
+    """Solve a coarse-to-fine ladder of QPs, warm-starting each level.
+
+    ``problems``: one entry per level.  Each entry is either a dense
+    ``Problem`` (solved with ``qt.solve``) or a tuple
+    ``(Q, q, A, l, u[, c])`` with scipy-sparse/dense Q, A (solved with
+    ``qt.solve_sparse``, the large-n path).
+
+    ``prolong``: ``prolong(x, y, level) -> (x0, y0)`` maps level
+    ``level``'s unscaled solution to level ``level+1``'s warm start.
+    ``None`` passes solutions through unchanged (identity continuation —
+    the parametric/homotopy case where all levels share one shape, e.g.
+    a data or settings ramp).  Callbacks taking only ``(x, y)`` (e.g.
+    ``grid1d_prolong(...)``) are accepted too.
+
+    Returns the finest level's ``Result`` (``info.run_time`` covers the
+    whole ladder), or every level's when ``return_all``.
+    """
+    from .api import solve, solve_sparse
+
+    if settings is None:
+        settings = Settings()
+    if not problems:
+        raise ValueError("solve_continuation: empty problem list")
+
+    t0 = time.perf_counter()
+    x0 = y0 = None
+    results = []
+    for i, p in enumerate(problems):
+        if isinstance(p, Problem):
+            res = solve(p, settings, x0=x0, y0=y0)
+        else:
+            Q, q, A, l, u = p[:5]
+            c = p[5] if len(p) > 5 else 0.0
+            res = solve_sparse(Q, q, A, l, u, c, settings=settings,
+                               x0=x0, y0=y0, dtype=dtype)
+        results.append(res)
+        if i + 1 < len(problems):
+            x, y = np.asarray(res.x), np.asarray(res.y)
+            if prolong is None:
+                x0, y0 = x, y
+            else:
+                try:
+                    x0, y0 = prolong(x, y, i)
+                except TypeError:
+                    x0, y0 = prolong(x, y)
+
+    total = time.perf_counter() - t0
+    final = results[-1]
+    final = final._replace(info=final.info._replace(run_time=total))
+    results[-1] = final
+    return results if return_all else final

@@ -1,0 +1,84 @@
+"""Grid-continuation demo: the LISWET family (L1 spline fitting under
+second-difference constraints), coarse-to-fine.
+
+The duals of an order-2 finite-difference constraint scale like n^2, so a
+cold proximal solve crawls ~n iterations (RESULTS.md "LISWET
+convergence").  Solving a ladder of grids and prolonging each solution —
+x by interpolation, y by interpolation x (n_f/n_c)^2 — hands every level
+a near-converged active set: measured 46x at n=10,000.
+
+Run:  python examples/continuation.py  [N]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# CPU/f64 is the right configuration for single large sparse QPs
+# (see CLAUDE.md; set QPDO_EX_TPU=1 to try the attached TPU)
+if not os.environ.get("QPDO_EX_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import scipy.sparse as sps
+
+import qpdo_tpu as qt
+
+
+def liswet(n, d):
+    """min 0.5||x - d||^2  s.t.  x_i - 2 x_{i+1} + x_{i+2} >= 0."""
+    Q = sps.eye(n, format="csr") * (1.0 + 1e-3)
+    m = n - 2
+    rows = np.repeat(np.arange(m), 3)
+    cols = (np.arange(m)[:, None] + np.array([0, 1, 2])[None, :]).ravel()
+    vals = np.tile(np.array([1.0, -2.0, 1.0]), m)
+    A = sps.csr_matrix((vals, (rows, cols)), shape=(m, n))
+    return Q, -d, A, np.zeros(m), np.full(m, np.inf)
+
+
+def main():
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+
+    rng = np.random.default_rng(42)
+    t_fine = np.linspace(0, 1, N)
+    d_fine = np.sin(4 * np.pi * t_fine) + 0.1 * rng.standard_normal(N)
+
+    # geometric ladder down to ~600 points
+    levels = [N]
+    while levels[0] > 700:
+        levels.insert(0, (levels[0] + 1) // 2)
+    print("ladder:", levels)
+
+    problems = [liswet(n, np.interp(np.linspace(0, 1, n), t_fine, d_fine))
+                for n in levels]
+
+    def prolong(x, y, i):
+        return qt.grid1d_prolong(levels[i], levels[i + 1], order=2)(x, y)
+
+    # LISWET-class schedule (RESULTS.md): aggressive per-row mu shrink
+    settings = qt.Settings(eps_abs=1e-6, max_iter=100000,
+                           inner_max_iter=100, eps_abs_in=0.1,
+                           rho=0.2, delta=1e-4, theta=0.9)
+
+    ladder = qt.solve_continuation(problems, settings, prolong=prolong,
+                                   dtype="float64", return_all=True)
+    for n, r in zip(levels, ladder):
+        print(f"  n={n:6d}: {r.info.status:10s} {int(r.info.iterations):6d} iters")
+
+    res = ladder[-1]
+    Q, q, A, l, u = problems[-1]
+    x, y = np.asarray(res.x), np.asarray(res.y)
+    Ax = A @ x
+    rp = np.max(np.abs(Ax - np.clip(Ax + y, l, u)))
+    rd = np.max(np.abs(Q @ x + q + A.T @ y))
+    print(f"final KKT: rp={rp:.2e} rd={rd:.2e} "
+          f"(ladder wall time {float(res.info.run_time):.1f} s)")
+    assert rp <= 1e-6 and rd <= 1e-6
+
+
+if __name__ == "__main__":
+    main()

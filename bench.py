@@ -97,7 +97,9 @@ def main():
                            cert_dtype="float32", warmup_eps=1e-4,
                            linesearch="bisect", linesearch_dtype="float32",
                            phase2_gemm_dtype="float32", hard_rows=8,
-                           anchor_every=10)
+                           anchor_every=10,
+                           newton_full_step=bool(int(
+                               os.environ.get("QPDO_BENCH_FULLSTEP", "1"))))
 
     def run_sync():
         # straggler compaction: bitwise-identical per-problem results,
@@ -111,6 +113,19 @@ def main():
 
     res = run_sync()  # compile + warmup
     solved = float(jnp.mean((res.info.status_val == qt.SOLVED).astype(jnp.float64)))
+
+    # independent host-side oracle: the solutions must satisfy the ORIGINAL
+    # problems' KKT conditions in numpy float64 — "solved" is a verified
+    # claim, not a trusted status flag (the oracle of demo_mex.m:31-43)
+    x = np.asarray(res.x)
+    y = np.asarray(res.y)
+    An = np.asarray(problems.A)
+    Ax = np.einsum("bmn,bn->bm", An, x)
+    rp = np.abs(Ax - np.clip(Ax + y, np.asarray(problems.l),
+                             np.asarray(problems.u))).max(axis=1)
+    rd = np.abs(np.einsum("bij,bj->bi", Q, x) + np.asarray(problems.q)
+                + np.einsum("bmn,bm->bn", An, y)).max(axis=1)
+    oracle_ok = float(np.mean((rp <= 1.1e-6) & (rd <= 1.1e-6)))
 
     reps = 2
     t0 = time.perf_counter()
@@ -141,6 +156,8 @@ def main():
         "peak_tflops_f32_highest": round(peak["f32_highest"], 3),
         "peak_tflops_bf16": round(peak["bf16"], 3),
         "mfu": round(mfu, 4),
+        "oracle_verified_fraction": round(oracle_ok, 4),
+        "oracle_max_res": round(float(max(rp.max(), rd.max())), 9),
     }))
 
 

@@ -74,8 +74,11 @@ def _solve_batch_compact(problems: Problem, settings: Settings, x0, y0,
 
     def run_compact(sp_b, stg, state, iter_cap):
         step_v = jax.vmap(lambda sp1, s1: core.step(sp1, stg, s1))
+        # mixed-GEMM is a property of THIS phase's state dtype (the f32
+        # warmup phase runs its GEMMs in the state dtype already — it must
+        # not anchor, matching core.run_loop's `op.dtype` check)
         mixed = (stg.phase2_gemm_dtype is not None
-                 and jnp.dtype(stg.phase2_gemm_dtype) != sps.data.Q.dtype)
+                 and jnp.dtype(stg.phase2_gemm_dtype) != sp_b.data.Q.dtype)
 
         def active_of(st):
             return (st.status == _c.UNSOLVED) & (st.iter < iter_cap)

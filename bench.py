@@ -94,12 +94,16 @@ def main():
                            eps_abs_in=0.1, rho=0.02, delta=0.1,
                            refine_steps=2, kkt_dtype="float32",
                            hybrid_warmup=True, mu_min=1e-7,
-                           cert_dtype="float32", warmup_eps=1e-4,
+                           cert_dtype="float32",
                            linesearch="bisect", linesearch_dtype="float32",
                            phase2_gemm_dtype="float32", hard_rows=8,
                            anchor_every=10,
                            newton_full_step=bool(int(
-                               os.environ.get("QPDO_BENCH_FULLSTEP", "1"))))
+                               os.environ.get("QPDO_BENCH_FULLSTEP", "1"))),
+                           warmup_eps=float(
+                               os.environ.get("QPDO_BENCH_WEPS", "1e-4")),
+                           warmup_matmul_precision=os.environ.get(
+                               "QPDO_BENCH_WARMUP_PREC", "highest"))
 
     def run_sync():
         # straggler compaction: bitwise-identical per-problem results,

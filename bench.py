@@ -18,18 +18,29 @@ import time
 import numpy as np
 
 
-def flops_per_iteration(n: int, m: int, refine_steps: int) -> float:
+def flops_per_iteration(n: int, m: int, refine_steps: int,
+                        kkt_update_rows: int = 0,
+                        anchor_every: int = 10) -> float:
     """Analytic FLOPs of one solver iteration for one problem (multiply+add
     = 2 FLOPs).  Counts the O(n^2)/O(mn) dense work of solver/core.py
-    `step` + ops/linalg.py `newton_system_solve`; elementwise O(n+m) terms
-    are ignored (<1%)."""
-    formation = 2.0 * m * n * n + m * n          # A' (w o A) + row scale
+    `step` + ops/linalg.py `newton_system_solve` (or its incremental
+    variant when kkt_update_rows > 0); elementwise O(n+m) terms are
+    ignored (<1%)."""
     cholesky = n ** 3 / 3.0
     tri_solves = 2.0 * n * n                     # two triangular solves
-    refine = refine_steps * (tri_solves + 2.0 * n * n + 4.0 * m * n)
     at_ytilde = 2.0 * m * n                      # rhs matvec
     qdx = 2.0 * n * n                            # Q dx (linesearch input)
     cert_gemms = 8.0 * m * n + 2.0 * n * n       # A@[dx,dxc], A'@[dy,dyc], Qdxc
+    if 0 < kkt_update_rows < m:
+        k = kkt_update_rows
+        formation = (2.0 * k * n * n               # top-k row update
+                     + (2.0 * m * n * n) / anchor_every)  # chunk rebuild
+        kmv = 2.0 * n * n + 4.0 * m * n
+        pcg = (1 + max(refine_steps, 1)) * (kmv + tri_solves)
+        return (formation + cholesky + tri_solves + pcg + at_ytilde
+                + qdx + cert_gemms)
+    formation = 2.0 * m * n * n + m * n          # A' (w o A) + row scale
+    refine = refine_steps * (tri_solves + 2.0 * n * n + 4.0 * m * n)
     return (formation + cholesky + tri_solves + refine + at_ytilde
             + qdx + cert_gemms)
 
@@ -103,7 +114,9 @@ def main():
                            warmup_eps=float(
                                os.environ.get("QPDO_BENCH_WEPS", "1e-4")),
                            warmup_matmul_precision=os.environ.get(
-                               "QPDO_BENCH_WARMUP_PREC", "highest"))
+                               "QPDO_BENCH_WARMUP_PREC", "highest"),
+                           kkt_update_rows=int(
+                               os.environ.get("QPDO_BENCH_KKTROWS", "0")))
 
     def run_sync():
         # straggler compaction: bitwise-identical per-problem results,
@@ -142,8 +155,9 @@ def main():
 
     # ---- FLOP / MFU accounting ------------------------------------------
     peak = measure_peak_tflops()
-    total_flops = B * mean_iters * flops_per_iteration(n, m,
-                                                       settings.refine_steps)
+    total_flops = B * mean_iters * flops_per_iteration(
+        n, m, settings.refine_steps, settings.kkt_update_rows,
+        settings.anchor_every)
     achieved_tflops = total_flops / dt / 1e12
     mfu = achieved_tflops / peak["f32_highest"]
 

@@ -233,6 +233,30 @@ class DenseOperator(NamedTuple):
                                    settings.proximal, settings.refine_steps,
                                    settings.kkt_dtype)
 
+    # -- Incremental KKT formation (Settings.kkt_update_rows > 0): the
+    # TPU analogue of the reference's rank-k factor updates
+    # (cholmod_interface.c:57-93) — see ops/linalg.py.
+    def kkt_cache_init(self, active, mu, settings: Settings):
+        from .ops.linalg import kkt_cache_build
+        d = self.sp.data
+        return kkt_cache_build(d.Q, d.A, active / mu, settings.kkt_dtype)
+
+    def newton_solve_cached(self, active, mu, sigma, rhs,
+                            settings: Settings, cache):
+        from .ops.linalg import newton_system_solve_cached
+        d = self.sp.data
+        return newton_system_solve_cached(
+            d.Q, d.A, active / mu, sigma, rhs, cache, settings.proximal,
+            settings.refine_steps, settings.kkt_dtype,
+            settings.kkt_update_rows)
+
+    def newton_exact(self, settings: Settings) -> bool:
+        """Directions are exact-direct except in incremental-KKT mode,
+        where a stale K-tilde + fixed PCG budget can leave them inexact —
+        the full-step acceptance (Settings.newton_full_step) must not
+        trust those (same reasoning as SparseOperator.newton_exact)."""
+        return settings.kkt_update_rows == 0
+
     def cast(self, dtype) -> "DenseOperator":
         from_dt = self.dtype
         sp = jax.tree.map(

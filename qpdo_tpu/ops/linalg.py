@@ -143,3 +143,99 @@ def newton_system_solve(Q, A, active, mu, sigma, rhs, proximal: bool,
     # cholmod_interface.c:19-29)
     finite = jnp.all(jnp.isfinite(dx))
     return jnp.where(finite, dx, jnp.zeros_like(dx))
+
+
+# ---------------------------------------------------------------------------
+# Incremental KKT formation (Settings.kkt_update_rows)
+# ---------------------------------------------------------------------------
+# The TPU re-design of the reference's rank-k factor up/downdates
+# (newton.c:21-33, cholmod_interface.c:57-93): instead of updating the
+# *factor* (sequential, anti-TPU), carry the *matrix*
+# K_tilde = Q + A' diag(w_applied) A across iterations and update it with
+# the top-k changed rows per iteration (one (k,n)'(k,n) MXU matmul, 2kn^2
+# vs the full formation's 2mn^2).  The factorization is of K_tilde;
+# iterative refinement computes residuals against the exact
+# K(w) = Q + sigma I + A' diag(w) A, so the direction converges to the true
+# Newton direction whenever ||K - K_tilde|| is small relative to K_tilde.
+
+
+def kkt_cache_build(Q, A, w, kkt_dtype=None):
+    """Fresh cache: (K_tilde, w_applied) = (Q + A' diag(w) A, w) in the
+    KKT dtype.  No sigma term — sigma is applied at factor time (it is a
+    scalar that changes independently of W)."""
+    kdt = jnp.dtype(kkt_dtype) if kkt_dtype is not None else Q.dtype
+    Qk, Ak, wk = Q.astype(kdt), A.astype(kdt), w.astype(kdt)
+    return Qk + Ak.T @ (wk[:, None] * Ak), wk
+
+
+def newton_system_solve_cached(Q, A, w, sigma, rhs, cache, proximal: bool,
+                               refine_steps: int, kkt_dtype, k: int):
+    """Incremental variant of ``newton_system_solve``: apply the top-k
+    |dW| row updates to the cached K_tilde, factor it, and solve the EXACT
+    system K(w) dx = rhs by preconditioned CG with the K_tilde factor as
+    the preconditioner.  Returns ``(dx, new_cache)``.
+
+    PCG (not Richardson refinement) is what makes staleness safe: when the
+    un-applied dW mass is large (many active-set flips or a mu update in
+    one iteration), the stationary refinement iteration diverges
+    (rho(I - K_tilde^-1 K) > 1) while PCG still contracts the K-norm error
+    monotonically for any SPD preconditioner; when K_tilde is fresh it
+    converges in 1-2 steps.  Each step costs one exact K matvec (O(n^2+mn))
+    plus two triangular solves — far below the 2mn^2 formation this path
+    avoids."""
+    dt = Q.dtype
+    kdt = jnp.dtype(kkt_dtype) if kkt_dtype is not None else dt
+    Ktilde, w_app = cache
+    k = min(int(k), A.shape[0])
+
+    dw = w.astype(kdt) - w_app
+    _, idx = jax.lax.top_k(jnp.abs(dw), k)
+    dw_sel = dw[idx]                                   # (k,)
+    A_sel = A.astype(kdt)[idx]                         # (k, n)
+    Ktilde = Ktilde + A_sel.T @ (dw_sel[:, None] * A_sel)
+    w_app = w_app.at[idx].add(dw_sel)
+
+    Kfac = Ktilde
+    if proximal:
+        n = Q.shape[-1]
+        Kfac = Kfac + jnp.asarray(sigma, kdt) * jnp.eye(n, dtype=kdt)
+    chol, dinv = jacobi_cholesky(Kfac)
+
+    def solve1(b):
+        bh = (b * dinv).astype(kdt)
+        z = jax.scipy.linalg.solve_triangular(chol, bh, lower=True)
+        z = jax.scipy.linalg.solve_triangular(chol, z, lower=True, trans=1)
+        return z.astype(dt) * dinv.astype(dt)
+
+    Qk, Ak, wk = Q.astype(kdt), A.astype(kdt), w.astype(kdt)
+
+    def Kmv(v):
+        vk = v.astype(kdt)
+        Kv = (Qk @ vk + Ak.T @ (wk * (Ak @ vk))).astype(dt)
+        if proximal:
+            Kv = Kv + sigma * v
+        return Kv
+
+    # PCG with x0 = 0, preconditioner M^-1 = solve1, fixed 1 + refine_steps
+    # iterations (static loop; no data-dependent control flow)
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+    x = jnp.zeros_like(rhs)
+    r = rhs
+    z = solve1(r)
+    p = z
+    rz = jnp.vdot(r, z).real
+    for _ in range(1 + max(refine_steps, 1)):
+        Kp = Kmv(p)
+        pKp = jnp.vdot(p, Kp).real
+        live = pKp > tiny
+        alpha = jnp.where(live, rz / jnp.where(live, pKp, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Kp
+        z = solve1(r)
+        rz_new = jnp.vdot(r, z).real
+        beta = jnp.where(live, rz_new / jnp.where(rz > tiny, rz, 1.0), 0.0)
+        rz = rz_new
+        p = z + beta * p
+    finite = jnp.all(jnp.isfinite(x))
+    dx = jnp.where(finite, x, jnp.zeros_like(x))
+    return dx, (Ktilde, w_app)

@@ -96,17 +96,21 @@ def _solve_batch_compact(problems: Problem, settings: Settings, x0, y0,
                     act.reshape(act.shape + (1,) * (a.ndim - 1)), a, b),
                 new, st)
 
-        if mixed:
-            # mixed-GEMM mode: re-anchor the caches every anchor_every
-            # steps (core.run_loop does this per problem; here the anchor
-            # cadence is batch-global, which bounds drift identically)
-            reanchor_v = jax.vmap(
-                lambda sp1, s1: core.reanchor(sp1, stg, s1))
+        incremental = (stg.kkt_update_rows > 0
+                       and state.kkt_cache is not None)
+        if mixed or incremental:
+            # chunk cadence (core.run_loop does this per problem; here it
+            # is batch-global, which bounds drift/staleness identically):
+            # mixed-GEMM mode re-anchors the matvec caches (+ rebuilds the
+            # incremental-KKT cache); incremental-only mode rebuilds just
+            # the KKT cache
+            refresh = core.reanchor if mixed else core.rebuild_kkt_cache
+            refresh_v = jax.vmap(lambda sp1, s1: refresh(sp1, stg, s1))
 
             def body1(st):
                 st = jax.lax.fori_loop(
                     0, stg.anchor_every, lambda _, t: masked_step(t), st)
-                return reanchor_v(sp_b, st)
+                return refresh_v(sp_b, st)
         else:
             body1 = masked_step
 

@@ -129,6 +129,14 @@ def init_state(op, settings: Settings,
 
     zero = jnp.asarray(0.0, dt)
     i0 = jnp.asarray(0, jnp.int32)
+    kkt_cache = None
+    if settings.kkt_update_rows > 0 and hasattr(op, "kkt_cache_init"):
+        # initial cache from the init-state active set (w with ybar = y,
+        # the same test step() applies, newton.c:96-107)
+        w0 = tmap(lambda Ax1, mu1, y1: Ax1 + 0.5 * mu1 * y1, Ax, mu, y)
+        active0 = tmap(lambda wv, l, u: ((wv <= l) | (wv >= u)).astype(dt),
+                       w0, op.l, op.u)
+        kkt_cache = op.kkt_cache_init(active0, mu, settings)
     return SolverState(
         x=x, y=y, Qx=Qx, Ax=Ax, Aty=Aty, dx_prev=op.zeros_primal(),
         xbar=x, ybar=y, mu=mu,
@@ -137,7 +145,8 @@ def init_state(op, settings: Settings,
         iter=i0, iter_old=i0, oter=i0,
         status=jnp.asarray(_c.UNSOLVED, jnp.int32),
         res_prim_norm=zero, res_dual_norm=zero,
-        res_prim_in_norm=zero, res_dual_in_norm=zero)
+        res_prim_in_norm=zero, res_dual_in_norm=zero,
+        kkt_cache=kkt_cache)
 
 
 # ---------------------------------------------------------------------------
@@ -240,8 +249,13 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
     split_certs = check_inf and cdt != dt
     At_ytilde = op.Atmv(ytilde, dtype=kdt)
     rhs = tmap(lambda rd, aty: -(rd + aty), res_dual_in, At_ytilde)
-    dx = op.newton_solve(active, s.mu, sigma, rhs, settings,
-                         dx_prev=s.dx_prev, tol_hint=s.eps_in)
+    if s.kkt_cache is not None and hasattr(op, "newton_solve_cached"):
+        dx, kkt_cache_new = op.newton_solve_cached(
+            active, s.mu, sigma, rhs, settings, s.kkt_cache)
+    else:
+        dx = op.newton_solve(active, s.mu, sigma, rhs, settings,
+                             dx_prev=s.dx_prev, tol_hint=s.eps_in)
+        kkt_cache_new = s.kkt_cache
     Qdx_pure = op.Qmv(dx, dtype=kdt)
     if mixed:
         Adx = op.Amv_mixed(dx, s.mu, settings.hard_rows, pdt)
@@ -430,6 +444,9 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
         res_dual_norm=res_dual_norm,
         res_prim_in_norm=res_prim_in_norm,
         res_dual_in_norm=res_dual_in_norm,
+        # the cache advances only on Newton steps (outer/frozen steps did
+        # not factor); None stays None (tree.map skips empty subtrees)
+        kkt_cache=pick(kkt_cache_new, s.kkt_cache, s.kkt_cache),
     )
 
 
@@ -444,12 +461,30 @@ def objective_value(op, x, Qx):
     return obj * op.cinv + op.c
 
 
+def rebuild_kkt_cache(op, settings: Settings, s: SolverState) -> SolverState:
+    """Full rebuild of the incremental-KKT cache from the current state
+    (the chunk-cadence analogue of the reference's periodic full
+    refactorization, newton.c:21-24): resets the staleness of the rows
+    beyond the per-iteration top-k updates."""
+    op = as_operator(op)
+    if settings.kkt_update_rows <= 0 or not hasattr(op, "kkt_cache_init"):
+        return s
+    dt = op.dtype
+    w = tmap(lambda Ax1, mu1, ybar1, y1: Ax1 + mu1 * (ybar1 - 0.5 * y1),
+             s.Ax, s.mu, s.ybar, s.y)
+    active = tmap(lambda wv, l, u: ((wv <= l) | (wv >= u)).astype(dt),
+                  w, op.l, op.u)
+    return s._replace(kkt_cache=op.kkt_cache_init(active, s.mu, settings))
+
+
 def reanchor(op, settings: Settings, s: SolverState) -> SolverState:
     """Recompute the Qx/Ax/Aty caches with exact state-dtype matvecs
     ("anchor" of the mixed-GEMM phase 2): resets the reduced-precision
-    increment drift accumulated since the previous anchor."""
+    increment drift accumulated since the previous anchor.  Also rebuilds
+    the incremental-KKT cache when it is carried."""
     op = as_operator(op)
-    return s._replace(Qx=op.Qmv(s.x), Ax=op.Amv(s.x), Aty=op.Atmv(s.y))
+    s = s._replace(Qx=op.Qmv(s.x), Ax=op.Amv(s.x), Aty=op.Atmv(s.y))
+    return rebuild_kkt_cache(op, settings, s)
 
 
 @_with_matmul_precision
@@ -473,16 +508,20 @@ def run_loop(op, settings: Settings, s: SolverState, iter_cap) -> SolverState:
     mixed = (settings.phase2_gemm_dtype is not None
              and jnp.dtype(settings.phase2_gemm_dtype) != op.dtype
              and hasattr(op, "Amv_mixed"))
-    if not mixed:
+    incremental = s.kkt_cache is not None
+    if not mixed and not incremental:
         return jax.lax.while_loop(cond, body, s)
 
     K = settings.anchor_every
+    # mixed mode re-anchors the matvec caches too; incremental-only mode
+    # rebuilds just the KKT cache (exact caches are already maintained)
+    refresh = reanchor if mixed else rebuild_kkt_cache
 
     def chunk(s: SolverState):
         end = jnp.minimum(s.iter + K, iter_cap)
         s = jax.lax.while_loop(
             lambda t: (t.status == _c.UNSOLVED) & (t.iter < end), body, s)
-        return reanchor(op, settings, s)
+        return refresh(op, settings, s)
 
     return jax.lax.while_loop(cond, chunk, s)
 
@@ -586,7 +625,7 @@ def upcast_state(op, settings: Settings, s: SolverState) -> SolverState:
     up = lambda a: tcast(a, dt)
     x, y = up(s.x), up(s.y)
     status = jnp.where(s.status == _c.SOLVED, _c.UNSOLVED, s.status)
-    return SolverState(
+    out = SolverState(
         x=x, y=y, Qx=op.Qmv(x), Ax=op.Amv(x), Aty=op.Atmv(y),
         dx_prev=up(s.dx_prev), xbar=up(s.xbar), ybar=up(s.ybar), mu=up(s.mu), sigma=up(s.sigma),
         eps_in=up(s.eps_in), res_prim_old=up(s.res_prim_old), tau=up(s.tau),
@@ -595,6 +634,11 @@ def upcast_state(op, settings: Settings, s: SolverState) -> SolverState:
         res_prim_norm=up(s.res_prim_norm), res_dual_norm=up(s.res_dual_norm),
         res_prim_in_norm=up(s.res_prim_in_norm),
         res_dual_in_norm=up(s.res_dual_in_norm))
+    if s.kkt_cache is not None:
+        # phase transition: rebuild the incremental-KKT cache in the
+        # accurate phase's dtypes
+        out = rebuild_kkt_cache(op, settings, out)
+    return out
 
 
 @_with_matmul_precision

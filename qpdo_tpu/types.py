@@ -226,6 +226,22 @@ class Settings:
     # reference stepping semantics.
     newton_full_step: bool = True
     full_step_gamma: float = 0.9
+    # Incremental KKT formation (dense path; the TPU re-design of the
+    # reference's rank-k factor updates, newton.c:21-33 +
+    # cholmod_interface.c:57-93).  Forming K = Q + sigma I + A'WA is
+    # ~80% of the per-iteration FLOPs (2mn^2), but after the first few
+    # iterations W = active/mu changes on only a handful of rows.  With
+    # kkt_update_rows = k > 0 the solver carries K-tilde = Q + A'W~A in
+    # the state and updates it with the top-k |dW| rows per iteration
+    # (2kn^2); the factorization uses K-tilde while iterative refinement
+    # computes residuals against the EXACT K (w-exact matvecs), so the
+    # Newton direction stays accurate whenever the un-applied dW mass is
+    # small — and degrades gracefully (refinement's monotone safeguard +
+    # the exact linesearch keep merit descent) when it spikes after a mu
+    # update.  A full rebuild happens every ``anchor_every`` iterations
+    # (chunk cadence shared with the mixed-GEMM anchors).  0 = off
+    # (re-form K every iteration, round-1/2 behaviour).
+    kkt_update_rows: int = 0
     # Matmul precision for every dot/matvec in the solver.  TPUs default to
     # bfloat16 passes for float32 matmuls, which silently destroys the
     # residual accuracy the tolerances rely on; "highest" forces full
@@ -294,6 +310,10 @@ class SolverState(NamedTuple):
     res_dual_norm: jax.Array
     res_prim_in_norm: jax.Array
     res_dual_in_norm: jax.Array
+    # incremental-KKT cache (Settings.kkt_update_rows > 0, dense path):
+    # (K_tilde, w_applied) with K_tilde = Q + A' diag(w_applied) A in the
+    # KKT dtype; None when the feature is off or unsupported
+    kkt_cache: object = None
 
 
 class Info(NamedTuple):

@@ -90,3 +90,5 @@ def validate_settings(s: Settings) -> None:
         raise ValueError("banded_algo must be 'auto', 'scan', or 'cr'")
     if s.full_step_gamma <= 0:
         raise ValueError("full_step_gamma must be positive")
+    if s.kkt_update_rows < 0:
+        raise ValueError("kkt_update_rows must be nonnegative")

@@ -417,7 +417,12 @@ class SparseOperator(NamedTuple):
         # lift exactly-zero diagonals (padded tail / untouched variables)
         bump = jnp.where(diag + shift > 0, shift, shift + 1.0)
         B = B.at[:, idx, idx].add(bump)
-        chol = jnp.linalg.cholesky(B)
+        # factor in precond_dtype: the preconditioner only steers CG, so a
+        # float32 factorization changes iteration counts, not answers —
+        # and keeps the batched Cholesky off TPU emulated-float64
+        pdt = (jnp.dtype(settings.precond_dtype) if settings.precond_dtype
+               else dt)
+        chol = jnp.linalg.cholesky(B.astype(pdt))
         ok = jnp.all(jnp.isfinite(chol), axis=(-2, -1))        # (nb,)
         pad = nb * b - n
         dj = jnp.concatenate([dinv_jacobi, jnp.ones((pad,), dt)]) \
@@ -430,9 +435,10 @@ class SparseOperator(NamedTuple):
         def apply(r):
             rp = jnp.concatenate([r, jnp.zeros((pad,), dt)]) if pad else r
             rb = rp.reshape(nb, b, 1)
-            z = jax.scipy.linalg.solve_triangular(chol, rb, lower=True)
+            rbk = rb.astype(pdt)
+            z = jax.scipy.linalg.solve_triangular(chol, rbk, lower=True)
             z = jax.scipy.linalg.solve_triangular(chol, z, lower=True,
-                                                  trans=1)[..., 0]
+                                                  trans=1)[..., 0].astype(dt)
             zj = dj.reshape(nb, b) * rb[..., 0]
             z = jnp.where(ok[:, None], z, zj)
             z = z.reshape(-1)[:n] if pad else z.reshape(-1)
@@ -469,15 +475,17 @@ class SparseOperator(NamedTuple):
         # factorizable; NaN factor disables the correction entirely
         tr = jnp.sum(jnp.abs(jnp.diagonal(Kc))) / nc
         Kc = Kc.at[diag_idx, diag_idx].add(1e-10 * tr + 1e-30)
-        cholc = jnp.linalg.cholesky(Kc)
+        pdt = (jnp.dtype(settings.precond_dtype) if settings.precond_dtype
+               else dt)
+        cholc = jnp.linalg.cholesky(Kc.astype(pdt))
         ok = jnp.all(jnp.isfinite(cholc))
         cgrid = jnp.arange(n) // b
 
         def coarse(r):
-            rc = jnp.zeros((nc,), dt).at[cgrid].add(r)
+            rc = jnp.zeros((nc,), dt).at[cgrid].add(r).astype(pdt)
             z = jax.scipy.linalg.solve_triangular(cholc, rc, lower=True)
             z = jax.scipy.linalg.solve_triangular(cholc, z, lower=True,
-                                                  trans=1)
+                                                  trans=1).astype(dt)
             z = jnp.where(ok, z, 0.0)
             return z[cgrid]
 

@@ -190,6 +190,14 @@ class Settings:
     precond: str = "block_jacobi"
     # Block size of the block-Jacobi preconditioner.
     precond_block: int = 64
+    # Dtype of the preconditioner FACTORIZATION (block-Jacobi dense
+    # Cholesky + coarse factor), e.g. "float32" while the state is
+    # float64.  A preconditioner only steers CG — its factorization
+    # precision affects the iteration count, never the answer — and
+    # float32 keeps the batched Cholesky off the TPU's fragile emulated-
+    # float64 path (a pure-f64 batched Cholesky has crashed the axon
+    # device).  None = state dtype (exact CPU-parity trajectories).
+    precond_dtype: str | None = None
     # Banded direct Newton solves: when the sparse setup detected a
     # banded KKT pattern (bandwidth <= setup_sparse's banded_max_bw), use
     # the exact block-tridiagonal Cholesky (operators._banded_solve) in

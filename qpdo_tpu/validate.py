@@ -86,6 +86,10 @@ def validate_settings(s: Settings) -> None:
         raise ValueError("precond must be 'jacobi' or 'block_jacobi'")
     if not 1 <= s.precond_block <= 512:
         raise ValueError("precond_block must be in [1, 512]")
+    if s.precond_dtype is not None and s.precond_dtype not in (
+            "float32", "float64", "bfloat16"):
+        raise ValueError("precond_dtype must be None, 'bfloat16', "
+                         "'float32', or 'float64'")
     if s.banded_algo not in ("auto", "scan", "cr"):
         raise ValueError("banded_algo must be 'auto', 'scan', or 'cr'")
     if s.full_step_gamma <= 0:

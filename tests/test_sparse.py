@@ -398,3 +398,18 @@ def test_cyclic_reduction_end_to_end():
     assert int(r_cr.info.iterations) == int(r_scan.info.iterations)
     np.testing.assert_allclose(np.asarray(r_cr.x), np.asarray(r_scan.x),
                                atol=1e-8)
+
+
+def test_precond_dtype_float32():
+    """precond_dtype='float32' factors the block-Jacobi + coarse
+    preconditioner in float32 (the TPU-safe mode — pure-f64 batched
+    Cholesky crashes the axon device): CG steering changes, the answer
+    does not."""
+    Q, q, A, l, u = random_qp(50, 35, seed=11)
+    Qs, As = _sparse_of(Q, A)
+    r1 = qt.solve_sparse(Qs, q, As, l, u,
+                         settings=qt.Settings(precond_dtype="float32"))
+    r2 = qt.solve_sparse(Qs, q, As, l, u, settings=qt.Settings())
+    assert int(r1.info.status_val) == int(r2.info.status_val) == qt.SOLVED
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
+                               atol=1e-7)

@@ -100,17 +100,25 @@ def test_incremental_single_solve_api():
 def test_incremental_infeasible_detection():
     """Infeasibility latching still fires in incremental mode (the
     certificate tests run on exact state quantities, not on K_tilde)."""
-    # reference primal-infeasible example (examples/infeasibility_tests.m)
+    # box [0,1]^2 with x0+x1 in [2.5, 3]: infeasible (the shape of the
+    # reference's examples/infeasibility_tests.m primal-infeasible case)
     Q = np.eye(2)
     q = np.zeros(2)
-    A = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
-    l = np.array([0.0, 0.0, 2.0])
-    u = np.array([1.0, 1.0, 1.0])  # x0+x1 >= 2 and <= 1: infeasible
-    l, u = np.minimum(l, u), np.maximum(l, u)
-    # enforce genuine infeasibility: box [0,1]^2 with x0+x1 in [2, 3]
     A = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
     l = np.array([0.0, 0.0, 2.5])
     u = np.array([1.0, 1.0, 3.0])
     prob = qt.make_problem(Q, q, A, l, u)
     res = qt.solve(prob, qt.Settings(kkt_update_rows=2))
     assert int(res.info.status_val) == qt.PRIMAL_INFEASIBLE
+
+
+def test_incremental_verbose_driver(capsys):
+    """The chunked host driver (verbose/max_time) threads the KKT cache
+    through its per-chunk run_loop calls."""
+    problems, raw = make_batch(B=1)
+    prob = jax.tree.map(lambda a: a[0], problems)
+    res = qt.solve(prob, qt.Settings(**BASE, kkt_update_rows=12,
+                                     verbose=True, print_interval=10))
+    out = capsys.readouterr().out
+    assert int(res.info.status_val) == qt.SOLVED
+    assert "QPDO" in out and "r.prim" in out

@@ -113,6 +113,126 @@ def _qp_solve_bwd(settings, diff_mu, diff_sigma, saved, cotangents):
 _qp_solve.defvjp(_qp_solve_fwd, _qp_solve_bwd)
 
 
+class sparse_qp_layer:
+    """Differentiable LARGE-N QP layer with a fixed sparsity pattern.
+
+    Built once from pattern carriers (scipy.sparse / BCOO / dense — only
+    the nonzero patterns are kept), the layer maps the problem DATA to the
+    solution:
+
+        layer = sparse_qp_layer(Q0, A0, settings)
+        x, y = layer(q_data, a_data, q, l, u)
+
+    where ``q_data`` / ``a_data`` are the nonzero values of Q / A in the
+    layer's row-sorted COO order (``layer.q_indices`` / ``layer.a_indices``,
+    matching ``scipy.sparse.coo_matrix(M.tocsr())``).  All five arguments
+    are differentiable: the backward pass solves the adjoint KKT system
+    matrix-free by Jacobi-preconditioned CG (ops/cg.pcg) — the sparse
+    analogue of ``qp_solve``'s dense adjoint, same derivation (module
+    docstring); Q/A cotangents are returned as value-vectors on the
+    pattern (the gradient restricted to the pattern, which is the full
+    gradient whenever the pattern is structural).
+
+    Forward runs the sparse solver (SparseOperator + CG Newton); the whole
+    layer is traceable — compose with ``grad``/``jit``/``vmap`` as long as
+    the pattern (and settings) stay closed over, not traced.
+    """
+
+    def __init__(self, Q, A, settings: Optional[Settings] = None, *,
+                 diff_mu: Optional[float] = None, diff_sigma: float = 0.0,
+                 dtype=None):
+        from .solver.sparse import _as_triplets, setup_sparse
+
+        self.settings = Settings() if settings is None else settings
+        if diff_mu is None:
+            diff_mu = max(float(self.settings.mu_min), 1e-8)
+        self.diff_mu = float(diff_mu)
+        self.diff_sigma = float(diff_sigma)
+        dt = jnp.dtype(dtype) if dtype is not None else (
+            jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        self.dtype = dt
+        _, self.q_indices, self.q_shape = _as_triplets(Q, dt)
+        _, self.a_indices, self.a_shape = _as_triplets(A, dt)
+
+        settings_ = self.settings
+        qi = self.q_indices[:, 0]
+        qj = self.q_indices[:, 1]
+        rows = self.a_indices[:, 0]
+        cols = self.a_indices[:, 1]
+        n = self.q_shape[-1]
+        m = self.a_shape[0]
+        q_idx, a_idx = self.q_indices, self.a_indices
+        q_shape, a_shape = self.q_shape, self.a_shape
+        mu_d = jnp.asarray(self.diff_mu, dt)
+        sig_d = jnp.asarray(self.diff_sigma, dt)
+
+        @jax.custom_vjp
+        def f(q_data, a_data, qv, lv, uv):
+            op = setup_sparse((q_data, q_idx, q_shape), qv,
+                              (a_data, a_idx, a_shape), lv, uv, 0.0,
+                              settings_.scaling, dt,
+                              precond=settings_.precond,
+                              precond_block=settings_.precond_block,
+                              ruiz_kkt=settings_.ruiz_kkt)
+            res = solve_scaled(op, settings_, None, None, False, False)
+            return res.x, res.y
+
+        def fwd(q_data, a_data, qv, lv, uv):
+            x, y = f(q_data, a_data, qv, lv, uv)
+            return (x, y), (q_data, a_data, qv, lv, uv, x, y)
+
+        def bwd(saved, cotangents):
+            q_data, a_data, qv, lv, uv, x, y = saved
+            gx, gy = cotangents
+            gx = jnp.zeros_like(x) if gx is None else gx.astype(dt)
+            gy = jnp.zeros_like(y) if gy is None else gy.astype(dt)
+
+            def Amv(v):
+                return jnp.zeros((m,), dt).at[rows].add(a_data * v[cols])
+
+            def Atmv(v):
+                return jnp.zeros((n,), dt).at[cols].add(a_data * v[rows])
+
+            z = Amv(x) + y
+            act_low = z < lv
+            act_up = z > uv
+            act = (act_low | act_up).astype(dt)
+            W = act / mu_d
+
+            # adjoint Newton solve through the full sparse machinery
+            # (block-Jacobi + coarse correction, or the exact banded
+            # direct solve when the pattern allows) on UNSCALED data —
+            # plain Jacobi CG stagnates at the adjoint's 1/diff_mu
+            # conditioning
+            op0 = setup_sparse((q_data, q_idx, q_shape), qv,
+                               (a_data, a_idx, a_shape), lv, uv, 0.0,
+                               0, dt, precond=settings_.precond,
+                               precond_block=settings_.precond_block)
+            st_adj = settings_.replace(
+                cg_tol=min(settings_.cg_tol, 1e-10),
+                cg_max_iter=max(settings_.cg_max_iter, 2000))
+            rhs = gx + Atmv(W * gy)
+            mu_vec = jnp.full((m,), mu_d, dt)
+            u_adj = op0.newton_solve(act, mu_vec, sig_d, rhs, st_adj)
+            v = W * (Amv(u_adj) - gy)
+
+            dq_data = -u_adj[qi] * x[qj]
+            da_data = -(y[rows] * u_adj[cols] + v[rows] * x[cols])
+            dq = -u_adj
+            dl = jnp.where(act_low, v, 0.0)
+            du = jnp.where(act_up, v, 0.0)
+            return dq_data, da_data, dq, dl, du
+
+        f.defvjp(fwd, bwd)
+        self._f = f
+
+    def __call__(self, q_data, a_data, q, l, u):
+        dt = self.dtype
+        return self._f(jnp.asarray(q_data, dt), jnp.asarray(a_data, dt),
+                       jnp.asarray(q, dt), jnp.asarray(l, dt),
+                       jnp.asarray(u, dt))
+
+
 def qp_solve(Q, q, A, l, u, settings: Optional[Settings] = None, *,
              diff_mu: Optional[float] = None, diff_sigma: float = 0.0):
     """Solve the QP and return ``(x, y)``, differentiable in all five data

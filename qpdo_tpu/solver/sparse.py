@@ -22,8 +22,16 @@ from .scaling import limit_scaling
 
 
 def _as_triplets(M, dtype):
-    """Accept scipy.sparse, BCOO, or dense array-like; return
-    (data, indices (nse, 2) int32, shape) in row-sorted COO order."""
+    """Accept scipy.sparse, BCOO, dense array-like, or a prebuilt
+    ``(data, indices, shape)`` triple; return (data, indices (nse, 2)
+    int32, shape) in row-sorted COO order.
+
+    The triple form passes traced ``data`` through untouched (indices
+    must be concrete and already row-sorted) — it is what makes
+    ``diff.sparse_qp_layer`` traceable with a static pattern."""
+    if isinstance(M, tuple) and len(M) == 3:
+        data, idx, shape = M
+        return jnp.asarray(data, dtype), jnp.asarray(idx, jnp.int32), shape
     try:
         from jax.experimental import sparse as jsparse
         if isinstance(M, jsparse.BCOO):

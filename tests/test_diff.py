@@ -175,3 +175,91 @@ def test_equality_constrained_grad():
         fd = (float(loss_b(jnp.asarray(bp)))
               - float(loss_b(jnp.asarray(bm)))) / (2 * H)
         np.testing.assert_allclose(float(g[c]), fd, rtol=2e-3, atol=5e-4)
+
+
+def test_sparse_layer_matches_dense_grads():
+    """sparse_qp_layer gradients (pattern values + q/l/u) match the dense
+    qp_solve gradients restricted to the pattern."""
+    from qpdo_tpu.diff import sparse_qp_layer
+    import scipy.sparse as sps
+
+    rng = np.random.default_rng(5)
+    n, m = 12, 18
+    Q, q, A, l, u = make_qp(5, n, m)
+    # sparsify A to a structural pattern; Q keeps its dense pattern
+    A = np.where(rng.random((m, n)) < 0.4, A, 0.0)
+    A[np.all(A == 0, axis=1), 0] = 1.0      # no empty rows
+    Qs = sps.csr_matrix(Q)
+    As = sps.csr_matrix(A)
+
+    gx = jnp.asarray(rng.standard_normal(n))
+    gy = jnp.asarray(rng.standard_normal(m))
+
+    layer = sparse_qp_layer(Qs, As, SETTINGS, diff_mu=1e-9)
+    Qc = Qs.tocsr().tocoo()
+    Ac = As.tocsr().tocoo()
+
+    def loss_sparse(q_data, a_data, qv, lv, uv):
+        x, y = layer(q_data, a_data, qv, lv, uv)
+        return jnp.dot(gx, x) + jnp.dot(gy, y)
+
+    args = (jnp.asarray(Qc.data), jnp.asarray(Ac.data),
+            jnp.asarray(q), jnp.asarray(l), jnp.asarray(u))
+    grads_s = jax.grad(loss_sparse, argnums=(0, 1, 2, 3, 4))(*args)
+
+    def loss_dense(theta):
+        x, y = qp_solve(*theta, SETTINGS, diff_mu=1e-9)
+        return jnp.dot(gx, x) + jnp.dot(gy, y)
+
+    grads_d = jax.grad(loss_dense)(tuple(map(jnp.asarray,
+                                             (Q, q, A, l, u))))
+    # dense dQ/dA restricted to the patterns
+    dQ_at = np.asarray(grads_d[0])[Qc.row, Qc.col]
+    dA_at = np.asarray(grads_d[2])[Ac.row, Ac.col]
+    np.testing.assert_allclose(np.asarray(grads_s[0]), dQ_at,
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(grads_s[1]), dA_at,
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(grads_s[2]),
+                               np.asarray(grads_d[1]), rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(grads_s[3]),
+                               np.asarray(grads_d[3]), rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(grads_s[4]),
+                               np.asarray(grads_d[4]), rtol=1e-4, atol=1e-7)
+
+
+def test_sparse_layer_large_n_grad_finite():
+    """The sparse layer runs (forward + adjoint CG) at n=2000 without
+    densifying; gradient of a scalar loss is finite and the forward
+    solution verifies the KKT oracle."""
+    from qpdo_tpu.diff import sparse_qp_layer
+    import scipy.sparse as sps
+
+    rng = np.random.default_rng(7)
+    n, m = 2000, 1500
+    B = sps.random(n, n, density=4.0 / n, random_state=7, format="csr")
+    Qs = (B.T @ B + 0.5 * sps.eye(n)).tocsr()
+    As = sps.random(m, n, density=6.0 / n, random_state=8, format="csr")
+    q = rng.standard_normal(n)
+    l, u = -rng.random(m), rng.random(m)
+
+    st = qt.Settings(eps_abs=1e-8, newton_direct=False)
+    layer = sparse_qp_layer(Qs, As, st, diff_mu=1e-7)
+    Qc = Qs.tocoo()
+    Ac = As.tocsr().tocoo()
+
+    def loss(qv):
+        x, _ = layer(jnp.asarray(Qc.data), jnp.asarray(Ac.data),
+                     qv, jnp.asarray(l), jnp.asarray(u))
+        return jnp.sum(x ** 2)
+
+    x, y = layer(jnp.asarray(Qc.data), jnp.asarray(Ac.data),
+                 jnp.asarray(q), jnp.asarray(l), jnp.asarray(u))
+    xn, yn = np.asarray(x), np.asarray(y)
+    rp = np.max(np.abs(As @ xn - np.clip(As @ xn + yn, l, u)))
+    rd = np.max(np.abs(Qs @ xn + q + As.T @ yn))
+    assert max(rp, rd) < 1e-7
+
+    g = jax.grad(loss)(jnp.asarray(q))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.linalg.norm(g)) > 0

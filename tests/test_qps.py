@@ -250,3 +250,30 @@ ENDATA
     np.testing.assert_allclose(data.Q[0, 0], 2.0)
     np.testing.assert_allclose(data.Q[0, 1], 1.0)
     np.testing.assert_allclose(data.Q[1, 0], 1.0)
+
+
+def test_cli_main(tmp_path, capsys):
+    """python -m qpdo_tpu: parse, solve, one-line JSON out."""
+    import json as _json
+
+    import qpdo_tpu as qt
+    from qpdo_tpu.__main__ import main
+    from qpdo_tpu.io.qps import write_qps
+
+    rng = np.random.default_rng(0)
+    n, m = 20, 14
+    M = rng.standard_normal((n, n))
+    prob = qt.make_problem(M @ M.T / n + 0.3 * np.eye(n),
+                           rng.standard_normal(n),
+                           rng.standard_normal((m, n)),
+                           -np.ones(m), np.ones(m))
+    path = str(tmp_path / "cli.qps")
+    write_qps(prob, path, name="CLI")
+    rc = main([path, "--cpu", "--print-solution"])
+    out = capsys.readouterr().out.strip().splitlines()
+    head = _json.loads(out[0])
+    sol = _json.loads(out[1])
+    assert rc == 0
+    assert head["status_val"] == 1
+    assert head["n"] == n
+    assert len(sol["x"]) == n and len(sol["y"]) == m

@@ -31,8 +31,8 @@ def flops_per_iteration(n: int, m: int, refine_steps: int,
     at_ytilde = 2.0 * m * n                      # rhs matvec
     qdx = 2.0 * n * n                            # Q dx (linesearch input)
     cert_gemms = 8.0 * m * n + 2.0 * n * n       # A@[dx,dxc], A'@[dy,dyc], Qdxc
-    if 0 < kkt_update_rows < m:
-        k = kkt_update_rows
+    if kkt_update_rows > 0:
+        k = min(kkt_update_rows, m)
         formation = (2.0 * k * n * n               # top-k row update
                      + (2.0 * m * n * n) / anchor_every)  # chunk rebuild
         kmv = 2.0 * n * n + 4.0 * m * n

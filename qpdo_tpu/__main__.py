@@ -50,6 +50,8 @@ def main(argv=None) -> int:
     from . import Settings
     from .io.qps import read_qps, solve_qps_data
 
+    on_accelerator = jax.default_backend() != "cpu"
+
     t0 = time.perf_counter()
     data = read_qps(args.qps, dense=False)
     n = data.q.shape[0]
@@ -67,6 +69,14 @@ def main(argv=None) -> int:
     settings = Settings(eps_abs=args.eps, max_iter=args.max_iter,
                         max_time=args.max_time, ruiz_kkt=args.ruiz_kkt,
                         verbose=args.verbose)
+    if on_accelerator:
+        # TPU-safe factorization precision: float64 Cholesky crashes the
+        # axon device (CLAUDE.md / README "Precision model"); keep the
+        # float64 state but factor in float32 with refinement
+        settings = settings.replace(
+            kkt_dtype="float32", refine_steps=2,
+            mu_min=max(settings.mu_min, 1e-7),
+            precond_dtype="float32")
     t0 = time.perf_counter()
     res = solve_qps_data(data, settings=settings)
     status = int(np.asarray(res.info.status_val))  # host sync
@@ -86,7 +96,10 @@ def main(argv=None) -> int:
     }
     print(json.dumps(out))
     if args.print_solution:
-        print(json.dumps({"x": x.tolist(), "y": y.tolist()}))
+        # NaN-filled solutions (infeasible statuses) must stay valid JSON
+        san = lambda v: [vi if np.isfinite(vi) else None
+                         for vi in v.tolist()]
+        print(json.dumps({"x": san(x), "y": san(y)}))
     return 0 if status == 1 else 2
 
 

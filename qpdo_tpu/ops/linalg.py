@@ -89,6 +89,40 @@ def cholesky_solve(K, rhs, refine_steps: int = 0):
     return dx
 
 
+def _prescaled_tri_solver(chol, dinv, out_dtype):
+    """b -> D^-1 (LL')^-1 D^-1 b for a Jacobi-prescaled factor: the one
+    reduced-precision triangular-solve pair shared by the direct and
+    incremental Newton solvers."""
+    kdt = chol.dtype
+
+    def solve1(b):
+        bh = (b * dinv).astype(kdt)
+        z = jax.scipy.linalg.solve_triangular(chol, bh, lower=True)
+        z = jax.scipy.linalg.solve_triangular(chol, z, lower=True, trans=1)
+        return z.astype(out_dtype) * dinv.astype(out_dtype)
+
+    return solve1
+
+
+def _exact_kmv(Q, A, w, sigma, proximal: bool, kdt, dt):
+    """v -> K(w) v with O(n^2+mn) matvecs in the KKT dtype: they only
+    bound dx's accuracy at ~eps(kdt) relative, which is enough —
+    convergence is gated by the state-dtype residuals, not by dx's last
+    bits.  Keeps all refinement/PCG work off the emulated-f64 path on
+    TPU.  Shared by the direct (refinement) and incremental (PCG)
+    solvers."""
+    Qk, Ak, wk = Q.astype(kdt), A.astype(kdt), w.astype(kdt)
+
+    def Kmv(v):
+        vk = v.astype(kdt)
+        Kv = (Qk @ vk + Ak.T @ (wk * (Ak @ vk))).astype(dt)
+        if proximal:
+            Kv = Kv + sigma * v
+        return Kv
+
+    return Kmv
+
+
 def newton_system_solve(Q, A, active, mu, sigma, rhs, proximal: bool,
                         refine_steps: int = 0, kkt_dtype=None):
     """Form K and solve K dx = rhs (the factorization event of newton.c:21-49).
@@ -107,25 +141,11 @@ def newton_system_solve(Q, A, active, mu, sigma, rhs, proximal: bool,
                  active.astype(kdt), mu.astype(kdt),
                  jnp.asarray(sigma, kdt), proximal)
     chol, dinv = jacobi_cholesky(K)
-
-    def solve1(b):
-        bh = (b * dinv).astype(kdt)
-        z = jax.scipy.linalg.solve_triangular(chol, bh, lower=True)
-        z = jax.scipy.linalg.solve_triangular(chol, z, lower=True, trans=1)
-        return z.astype(dt) * dinv.astype(dt)
-
-    Qk, Ak, wk = Q.astype(kdt), A.astype(kdt), w.astype(kdt)
+    solve1 = _prescaled_tri_solver(chol, dinv, dt)
+    Kmv = _exact_kmv(Q, A, w, sigma, proximal, kdt, dt)
 
     def resid(v):
-        # residual matvecs in the KKT dtype: they only bound dx's accuracy
-        # at ~eps(kdt) relative, which is enough — convergence is gated by
-        # the state-dtype residuals, not by dx's last bits.  This keeps all
-        # O(n^2 + mn) refinement work off the emulated-f64 path on TPU.
-        vk = v.astype(kdt)
-        Kv = (Qk @ vk + Ak.T @ (wk * (Ak @ vk))).astype(dt)
-        if proximal:
-            Kv = Kv + sigma * v
-        return rhs - Kv
+        return rhs - Kmv(v)
 
     dx = solve1(rhs)
     if refine_steps > 0:
@@ -200,21 +220,8 @@ def newton_system_solve_cached(Q, A, w, sigma, rhs, cache, proximal: bool,
         n = Q.shape[-1]
         Kfac = Kfac + jnp.asarray(sigma, kdt) * jnp.eye(n, dtype=kdt)
     chol, dinv = jacobi_cholesky(Kfac)
-
-    def solve1(b):
-        bh = (b * dinv).astype(kdt)
-        z = jax.scipy.linalg.solve_triangular(chol, bh, lower=True)
-        z = jax.scipy.linalg.solve_triangular(chol, z, lower=True, trans=1)
-        return z.astype(dt) * dinv.astype(dt)
-
-    Qk, Ak, wk = Q.astype(kdt), A.astype(kdt), w.astype(kdt)
-
-    def Kmv(v):
-        vk = v.astype(kdt)
-        Kv = (Qk @ vk + Ak.T @ (wk * (Ak @ vk))).astype(dt)
-        if proximal:
-            Kv = Kv + sigma * v
-        return Kv
+    solve1 = _prescaled_tri_solver(chol, dinv, dt)
+    Kmv = _exact_kmv(Q, A, w, sigma, proximal, kdt, dt)
 
     # PCG with x0 = 0, preconditioner M^-1 = solve1, fixed 1 + refine_steps
     # iterations (static loop; no data-dependent control flow)

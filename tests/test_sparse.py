@@ -413,3 +413,25 @@ def test_precond_dtype_float32():
     assert int(r1.info.status_val) == int(r2.info.status_val) == qt.SOLVED
     np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
                                atol=1e-7)
+
+
+def test_sparse_tpu_safe_config():
+    """The TPU-deployment sparse config — hybrid f32 warmup + float32 CG
+    inner solves + float32 preconditioner factorization (no f64 Cholesky
+    anywhere) — still reaches 1e-6, oracle-verified."""
+    rng = np.random.default_rng(3)
+    n, m = 300, 220
+    B = sps.random(n, n, density=8.0 / n, random_state=3, format="csr")
+    Qs = (B.T @ B + 0.5 * sps.eye(n)).tocsr()
+    As = sps.random(m, n, density=8.0 / n, random_state=4, format="csr")
+    q = rng.standard_normal(n)
+    l, u = -rng.random(m), rng.random(m)
+    st = qt.Settings(eps_abs=1e-6, newton_direct=False, mu_min=1e-7,
+                     hybrid_warmup=True, warmup_eps=1e-3,
+                     cg_dtype="float32", precond_dtype="float32")
+    res = qt.solve_sparse(Qs, q, As, l, u, settings=st, dtype="float64")
+    assert int(res.info.status_val) == qt.SOLVED
+    x, y = np.asarray(res.x), np.asarray(res.y)
+    rp = np.max(np.abs(As @ x - np.clip(As @ x + y, l, u)))
+    rd = np.max(np.abs(Qs @ x + q + As.T @ y))
+    assert max(rp, rd) <= 1.1e-6

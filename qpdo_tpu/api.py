@@ -112,7 +112,7 @@ def solve_sparse(Q, q, A, l, u, c=0.0,
 
 
 def solve_sparse_batch(problems, settings: Optional[Settings] = None,
-                       dtype=None) -> Result:
+                       dtype=None, x0=None, y0=None) -> Result:
     """Lock-step batched solve of sparse QPs sharing one sparsity pattern
     (sparse MPC fleets / scenario sweeps).
 
@@ -120,8 +120,9 @@ def solve_sparse_batch(problems, settings: Optional[Settings] = None,
     and A have *identical* nonzero patterns (values may differ).  The
     float leaves of the per-instance operators are stacked and the whole
     solver vmaps over them while the index arrays stay shared — the
-    sparse analogue of ``parallel.solve_batch``.  Returns a Result with a
-    leading batch axis.
+    sparse analogue of ``parallel.solve_batch``.  ``x0``/``y0`` (optional,
+    (B, n)/(B, m)) warm-start every instance, qpdo.c:217-299 semantics.
+    Returns a Result with a leading batch axis.
     """
     import numpy as np
 
@@ -151,9 +152,14 @@ def solve_sparse_batch(problems, settings: Optional[Settings] = None,
         lambda *xs: jnp.stack(xs) if is_float(xs[0]) else xs[0], *ops)
     axes = jax.tree.map(lambda x: 0 if is_float(x) else None, base)
 
-    fn = jax.vmap(lambda op: solve_scaled(op, settings, None, None,
-                                          False, False), in_axes=(axes,))
-    return jax.jit(fn)(stacked)
+    warm_x, warm_y = x0 is not None, y0 is not None
+    x0 = None if x0 is None else jnp.asarray(x0, base.dtype)
+    y0 = None if y0 is None else jnp.asarray(y0, base.dtype)
+    fn = jax.vmap(
+        lambda op, xw, yw: solve_scaled(op, settings, xw, yw,
+                                        warm_x, warm_y),
+        in_axes=(axes, 0 if warm_x else None, 0 if warm_y else None))
+    return jax.jit(fn)(stacked, x0, y0)
 
 
 def solve(problem: Problem, settings: Optional[Settings] = None,

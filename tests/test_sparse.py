@@ -435,3 +435,27 @@ def test_sparse_tpu_safe_config():
     rp = np.max(np.abs(As @ x - np.clip(As @ x + y, l, u)))
     rd = np.max(np.abs(Qs @ x + q + As.T @ y))
     assert max(rp, rd) <= 1.1e-6
+
+
+def test_sparse_batch_warm_start():
+    """solve_sparse_batch accepts (B, n)/(B, m) warm starts; warm
+    re-solves of the same fleet take fewer iterations."""
+    rng = np.random.default_rng(21)
+    n, m, B = 40, 30, 3
+    pat_Q = sps.random(n, n, density=0.2, random_state=21, format="csr")
+    Qp = (pat_Q.T @ pat_Q + 0.5 * sps.eye(n)).tocsr()
+    Ap = sps.random(m, n, density=0.3, random_state=22, format="csr")
+    probs = []
+    for b in range(B):
+        Qb = Qp.copy()
+        Qb.data = Qb.data * (1.0 + 0.01 * b)
+        probs.append((Qb, rng.standard_normal(n), Ap,
+                      -np.ones(m), np.ones(m)))
+    cold = qt.solve_sparse_batch(probs, qt.Settings())
+    assert np.all(np.asarray(cold.info.status_val) == qt.SOLVED)
+    warm = qt.solve_sparse_batch(probs, qt.Settings(),
+                                 x0=np.asarray(cold.x),
+                                 y0=np.asarray(cold.y))
+    assert np.all(np.asarray(warm.info.status_val) == qt.SOLVED)
+    assert (np.asarray(warm.info.iterations).mean()
+            < np.asarray(cold.info.iterations).mean())

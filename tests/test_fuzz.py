@@ -56,3 +56,26 @@ def test_fuzz(seed, hybrid):
         # a randomly generated instance may legitimately be infeasible /
         # unbounded, but must not exhaust iterations undetected
         assert st in (qt.PRIMAL_INFEASIBLE, qt.DUAL_INFEASIBLE), st
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_incremental(seed):
+    """Same structural fuzz through the incremental-KKT path (top-k row
+    updates + stale-factor PCG): identical accept criteria."""
+    rng = np.random.default_rng(7000 + seed)
+    Q, q, A, l, u = _gen(rng)
+    s = qt.Settings(max_iter=3000, hybrid_warmup=True,
+                    kkt_dtype="float32", refine_steps=2, mu_min=1e-7,
+                    kkt_update_rows=8)
+    res = qt.solve(qt.make_problem(Q, q, A, l, u), s)
+    st = int(res.info.status_val)
+    if st == qt.SOLVED:
+        x, y = np.asarray(res.x), np.asarray(res.y)
+        lc = np.clip(l, -qt.QPDO_INFTY, qt.QPDO_INFTY)
+        uc = np.clip(u, -qt.QPDO_INFTY, qt.QPDO_INFTY)
+        Ax = A @ x
+        rp = np.max(np.abs(Ax - np.clip(Ax + y, lc, uc)))
+        rd = np.max(np.abs(Q @ x + q + A.T @ y))
+        assert rp <= 1.1e-6 and rd <= 1.1e-6
+    else:
+        assert st in (qt.PRIMAL_INFEASIBLE, qt.DUAL_INFEASIBLE), st

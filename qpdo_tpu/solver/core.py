@@ -394,6 +394,19 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
     sigma_out = jnp.where(do_sigma & (sigma > settings.sigma_min),
                           sigma_shrunk, sigma)
 
+    # prox-center update: plain recenter at the iterate (qpdo.c:396-397),
+    # or the safeguarded inertial extrapolation (Settings.accel_gamma)
+    if settings.accel_gamma > 0:
+        ot = s.oter.astype(dt)
+        gk = jnp.asarray(settings.accel_gamma, dt) * ot / (ot + 3.0)
+        rp_prev_norm = tnorm_inf(tmap(jnp.multiply, op.Einv, s.res_prim_old))
+        ok = can_check & (s.oter > 0) & (res_prim_norm <= rp_prev_norm)
+        gk = jnp.where(ok, gk, jnp.asarray(0.0, dt))
+        xbar_new = tmap(lambda zv, zb: zv + gk * (zv - zb), s.x, s.xbar)
+        ybar_new = tmap(lambda zv, zb: zv + gk * (zv - zb), s.y, s.ybar)
+    else:
+        xbar_new, ybar_new = s.x, s.y
+
     # inner tolerance shrink, only when the subproblem converged before the
     # iteration cap (qpdo.c:407-410)
     eps_in_out = jnp.where(
@@ -429,8 +442,8 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
         Ax=pick(Ax_nwt, s.Ax, s.Ax),
         Aty=pick(Aty_nwt, s.Aty, s.Aty),
         dx_prev=pick(dx, s.dx_prev, s.dx_prev),
-        xbar=pick(s.xbar, s.x, s.xbar),     # prox center <- x (qpdo.c:396)
-        ybar=pick(s.ybar, s.y, s.ybar),
+        xbar=pick(s.xbar, xbar_new, s.xbar),  # prox center (qpdo.c:396)
+        ybar=pick(s.ybar, ybar_new, s.ybar),
         mu=pick(s.mu, mu_out, s.mu),
         sigma=pick(s.sigma, sigma_out, s.sigma),
         eps_in=pick(s.eps_in, eps_in_out, s.eps_in),

@@ -250,6 +250,19 @@ class Settings:
     # (chunk cadence shared with the mixed-GEMM anchors).  0 = off
     # (re-form K every iteration, round-1/2 behaviour).
     kkt_update_rows: int = 0
+    # Inertial (heavy-ball) extrapolation of the proximal center, opt-in
+    # (no reference equivalent; the reference always recenters at the
+    # iterate, qpdo.c:396-397).  At an outer boundary the center becomes
+    #     center <- z + gamma_k (z - center_old),   z = (x, y)
+    # with gamma_k = accel_gamma * oter/(oter + 3) (a Nesterov-style ramp),
+    # safeguarded per problem: extrapolation only fires when the subproblem
+    # converged before its iteration cap AND the outer primal residual
+    # decreased vs. the previous boundary — otherwise the plain reference
+    # recenter is used, so merit-descent globalization is preserved.
+    # Infeasibility certificates remain sound: the Farkas tests
+    # (termination.c:97-216) validate the direction y - ybar itself,
+    # whatever produced it.  0.0 = off (reference semantics).
+    accel_gamma: float = 0.0
     # Matmul precision for every dot/matvec in the solver.  TPUs default to
     # bfloat16 passes for float32 matmuls, which silently destroys the
     # residual accuracy the tolerances rely on; "highest" forces full

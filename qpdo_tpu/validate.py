@@ -96,3 +96,5 @@ def validate_settings(s: Settings) -> None:
         raise ValueError("full_step_gamma must be positive")
     if s.kkt_update_rows < 0:
         raise ValueError("kkt_update_rows must be nonnegative")
+    if not (0 <= s.accel_gamma < 1):
+        raise ValueError("accel_gamma must be in [0, 1)")

@@ -145,7 +145,9 @@ def main():
                            warmup_matmul_precision=os.environ.get(
                                "QPDO_BENCH_WARMUP_PREC", "highest"),
                            kkt_update_rows=int(
-                               os.environ.get("QPDO_BENCH_KKTROWS", "0")))
+                               os.environ.get("QPDO_BENCH_KKTROWS", "0")),
+                           polish=bool(int(
+                               os.environ.get("QPDO_BENCH_POLISH", "0"))))
 
     def run_sync():
         # straggler compaction: bitwise-identical per-problem results,

@@ -257,6 +257,16 @@ class DenseOperator(NamedTuple):
         trust those (same reasoning as SparseOperator.newton_exact)."""
         return settings.kkt_update_rows == 0
 
+    def saddle_polish(self, act, bnd, settings: Settings):
+        """Equality-KKT polish solve on the identified active set
+        (Settings.polish; ops/linalg.saddle_polish_solve)."""
+        from .ops.linalg import saddle_polish_solve
+        d = self.sp.data
+        return saddle_polish_solve(d.Q, d.A, d.q, act, bnd,
+                                   settings.polish_delta,
+                                   settings.polish_refine,
+                                   settings.kkt_dtype)
+
     def cast(self, dtype) -> "DenseOperator":
         from_dt = self.dtype
         sp = jax.tree.map(

@@ -165,6 +165,59 @@ def newton_system_solve(Q, A, active, mu, sigma, rhs, proximal: bool,
     return jnp.where(finite, dx, jnp.zeros_like(dx))
 
 
+def saddle_polish_solve(Q, A, q, act, bnd, delta, refine_steps: int = 2,
+                        lu_dtype=None):
+    """Solve the equality-constrained KKT (saddle) system on the identified
+    active set — the solution-polish step (Settings.polish; the OSQP-style
+    refinement the reference lacks, its accuracy story being iterating to
+    eps_abs, qpdo.c:343-449).
+
+    Static shapes: instead of gathering active rows, inactive rows carry the
+    trivial equation y_i = 0, so the system is always (n+m, n+m):
+
+        S = [[Q,       (act*A)'                  ],      rhs = [-q      ]
+             [act*A,   diag(-delta*act + (1-act))]]            [act*bnd ]
+
+    For active rows the second block enforces (A x)_i = bnd_i (with a tiny
+    -delta dual regularization for duplicated/dependent rows); for inactive
+    rows it enforces y_i = 0.  The penalty form (Q + A'WA with W = act/mu_p)
+    is NOT used: its residual floor is eps * ||W|| * ||x|| ~ 1e-6 at
+    mu_p = 1e-8 — the saddle form is perfectly conditioned (measured
+    cond ~ 1e2 on the bench problems) and reaches ~1e-14.
+
+    LU-factor in ``lu_dtype`` (e.g. float32 on TPU), refine with exact
+    state-dtype matvecs.  Returns ``(xp, yp)``; a non-finite solve returns
+    the zero vector (the caller's acceptance test rejects it).
+    """
+    dt = Q.dtype
+    ldt = jnp.dtype(lu_dtype) if lu_dtype is not None else dt
+    n = Q.shape[-1]
+    Aact = act[:, None] * A
+    dblock = (1.0 - act) - jnp.asarray(delta, dt) * act
+    top = jnp.concatenate([Q, Aact.T], axis=-1)
+    bottom = jnp.concatenate(
+        [Aact, jnp.diag(dblock).astype(dt)], axis=-1)
+    S = jnp.concatenate([top, bottom], axis=-2)
+    rhs = jnp.concatenate([-q, act * bnd])
+
+    lu, piv = jax.scipy.linalg.lu_factor(S.astype(ldt))
+
+    def solve1(b):
+        return jax.scipy.linalg.lu_solve((lu, piv), b.astype(ldt)).astype(dt)
+
+    def Smv(v):
+        v1, v2 = v[:n], v[n:]
+        return jnp.concatenate(
+            [Q @ v1 + Aact.T @ v2, Aact @ v1 + dblock * v2])
+
+    sol = solve1(rhs)
+    for _ in range(refine_steps):
+        sol = sol + solve1(rhs - Smv(sol))
+    finite = jnp.all(jnp.isfinite(sol))
+    sol = jnp.where(finite, sol, jnp.zeros_like(sol))
+    return sol[:n], sol[n:] * act
+
+
 # ---------------------------------------------------------------------------
 # Incremental KKT formation (Settings.kkt_update_rows)
 # ---------------------------------------------------------------------------

@@ -148,6 +148,9 @@ def _solve_batch_compact(problems: Problem, settings: Settings, x0, y0,
         s = run_compact(sp32, stg1, s, core.warmup_iter_cap(settings))
         s = jax.vmap(lambda sp1, s1: core.upcast_state(sp1, settings, s1))(
             sps, s)
+        # post-warmup polish (no-op unless settings.polish)
+        s = jax.vmap(lambda sp1, s1: core.polish_state(sp1, settings, s1))(
+            sps, s)
     else:
         s = jax.vmap(lambda sp1, xw, yw: core.init_state(
             sp1, settings, xw, yw, warm_x, warm_y),
@@ -155,6 +158,8 @@ def _solve_batch_compact(problems: Problem, settings: Settings, x0, y0,
                 sps, x0, y0)
 
     s = run_compact(sps, settings, s, settings.max_iter)
+    # final polish (no-op unless settings.polish)
+    s = jax.vmap(lambda sp1, s1: core.polish_state(sp1, settings, s1))(sps, s)
     return jax.vmap(lambda sp1, s1: core.finalize(sp1, settings, s1))(sps, s)
 
 

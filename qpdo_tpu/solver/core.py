@@ -583,6 +583,59 @@ def finalize(op, settings: Settings, s: SolverState,
                   dual_inf_cert=dx_cert, info=info)
 
 
+@_with_matmul_precision
+def polish_state(op, settings: Settings, s: SolverState) -> SolverState:
+    """Attempt the solution polish (Settings.polish): one exact saddle
+    solve on the active set identified from the current iterate, accepted
+    per problem only when the recomputed outer residuals verify it.
+
+    Dense-path only (operators without ``saddle_polish`` pass through).
+    Acceptance: a still-running problem latches SOLVED when the polished
+    residuals meet eps_abs; an already-SOLVED problem additionally requires
+    a strict improvement of max(rp, rd) (the OSQP acceptance rule).
+    Infeasibility latches are never touched."""
+    op = as_operator(op)
+    if not settings.polish or not hasattr(op, "saddle_polish"):
+        return s
+    dt = op.dtype
+    eps_abs = jnp.asarray(settings.eps_abs, dt)
+    cinv = op.cinv
+
+    # activity in the mu -> 0 limit (newton.c:96-107): z = Ax + E^2 cinv y
+    # strictly outside [l, u] on active rows (scaled space)
+    z = s.Ax + (op.E * op.E * cinv) * s.y
+    act_low = z < op.l
+    act_up = z > op.u
+    act = (act_low | act_up).astype(dt)
+    bnd = jnp.where(act_low, op.l, jnp.where(act_up, op.u, 0.0))
+    xp, yp = op.saddle_polish(act, bnd, settings)
+
+    # verify: recomputed outer residuals of the polished pair (exact
+    # state-dtype matvecs; same formulas as step())
+    Qxp = op.Qmv(xp)
+    Axp = op.Amv(xp)
+    Atyp = op.Atmv(yp)
+    res_prim = Axp - jnp.clip(Axp + (op.E * op.E * cinv) * yp, op.l, op.u)
+    res_dual = Qxp + op.q + Atyp
+    rp = tnorm_inf(op.Einv * res_prim)
+    rd = tnorm_inf(op.Dinv * res_dual) * cinv
+
+    meets = (rp <= eps_abs) & (rd <= eps_abs)
+    cur = jnp.maximum(s.res_prim_norm, s.res_dual_norm)
+    running = s.status == _c.UNSOLVED
+    solved = s.status == _c.SOLVED
+    accept = meets & (running | (solved & (jnp.maximum(rp, rd) < cur)))
+
+    pick = lambda new, old: tmap(
+        lambda nv, ov: jnp.where(accept, nv, ov), new, old)
+    return s._replace(
+        x=pick(xp, s.x), y=pick(yp, s.y),
+        Qx=pick(Qxp, s.Qx), Ax=pick(Axp, s.Ax), Aty=pick(Atyp, s.Aty),
+        status=jnp.where(accept, _c.SOLVED, s.status).astype(jnp.int32),
+        res_prim_norm=jnp.where(accept, rp, s.res_prim_norm),
+        res_dual_norm=jnp.where(accept, rd, s.res_dual_norm))
+
+
 def warmup_settings(settings: Settings) -> Settings:
     """Phase-1 settings of the hybrid solve: float32-safe tolerances.
 
@@ -663,7 +716,12 @@ def solve_scaled(op, settings: Settings,
     op = as_operator(op)
     if settings.hybrid_warmup and op.dtype != jnp.float32:
         s0 = _warmup_pass(op, settings, x0, y0, warm_x, warm_y)
+        # post-warmup polish: a verified polish from the warm point skips
+        # the accurate phase entirely (the problem enters run_loop SOLVED)
+        s0 = polish_state(op, settings, s0)
     else:
         s0 = init_state(op, settings, x0, y0, warm_x, warm_y)
     s = run_loop(op, settings, s0, settings.max_iter)
+    # final polish: sharpen solved iterates / rescue unsolved ones
+    s = polish_state(op, settings, s)
     return finalize(op, settings, s)

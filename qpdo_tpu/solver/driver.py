@@ -32,7 +32,9 @@ def _init(sp, settings, x0, y0, warm_x, warm_y):
     import jax.numpy as jnp
 
     if settings.hybrid_warmup and core.as_operator(sp).dtype != jnp.float32:
-        return core._warmup_pass(sp, settings, x0, y0, warm_x, warm_y)
+        s = core._warmup_pass(sp, settings, x0, y0, warm_x, warm_y)
+        # post-warmup polish (no-op unless settings.polish)
+        return core.polish_state(sp, settings, s)
     return core.init_state(sp, settings, x0, y0, warm_x, warm_y)
 
 
@@ -61,6 +63,9 @@ def _mixed_mode(sp, settings) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("settings",))
 def _finalize(sp, settings, state, unsolved_status):
+    # final polish before assembling the result (no-op unless
+    # settings.polish)
+    state = core.polish_state(sp, settings, state)
     return core.finalize(sp, settings, state, unsolved_status)
 
 

@@ -250,6 +250,25 @@ class Settings:
     # (chunk cadence shared with the mixed-GEMM anchors).  0 = off
     # (re-form K every iteration, round-1/2 behaviour).
     kkt_update_rows: int = 0
+    # Solution polish (dense path; no reference equivalent — OSQP-style).
+    # Identify the active set from the current iterate (the mu -> 0 limit
+    # of the activity test, newton.c:96-107) and solve the
+    # equality-constrained KKT saddle system on it exactly
+    # (ops/linalg.saddle_polish_solve: LU in kkt_dtype + state-dtype
+    # refinement; measured residuals ~1e-14 when the set is right).  The
+    # polished point is accepted per problem only if its *recomputed* outer
+    # residuals meet eps_abs (and, for already-solved problems, improve) —
+    # a wrong active-set guess is rejected and the iterate is untouched.
+    # Fired (a) right after the hybrid float32 warmup, where a successful
+    # polish skips the accurate phase entirely (~97% success from a 1e-4
+    # warm point on the bench family), and (b) after the main loop, where
+    # it sharpens solved iterates and can rescue MAX_ITER stragglers.
+    polish: bool = False
+    # Dual regularization of the polish saddle system (handles
+    # duplicated/dependent active rows).
+    polish_delta: float = 1e-8
+    # State-dtype refinement rounds on the polish solve.
+    polish_refine: int = 2
     # Inertial (heavy-ball) extrapolation of the proximal center, opt-in
     # (no reference equivalent; the reference always recenters at the
     # iterate, qpdo.c:396-397).  At an outer boundary the center becomes

@@ -98,3 +98,7 @@ def validate_settings(s: Settings) -> None:
         raise ValueError("kkt_update_rows must be nonnegative")
     if not (0 <= s.accel_gamma < 1):
         raise ValueError("accel_gamma must be in [0, 1)")
+    if s.polish_delta <= 0:
+        raise ValueError("polish_delta must be positive")
+    if s.polish_refine < 0:
+        raise ValueError("polish_refine must be nonnegative")

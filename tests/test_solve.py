@@ -289,3 +289,74 @@ def test_accel_gamma_validation():
         validate_settings(qt.Settings(accel_gamma=1.0))
     with pytest.raises(ValueError):
         validate_settings(qt.Settings(accel_gamma=-0.1))
+
+
+def test_polish_sharpens_and_skips_phase2():
+    """Settings.polish: the saddle polish (a) leaves every problem
+    oracle-verified at 1e-6 and (b) sharpens residuals far below eps
+    (the loose iterate is replaced by the exact equality-KKT solution)."""
+    import qpdo_tpu as qt
+    from utils import kkt_residuals, random_qp
+
+    for seed in range(6):
+        Q, q, A, l, u = random_qp(60, 90, seed=300 + seed)
+        p = qt.make_problem(Q, q, A, l, u)
+        s = qt.Settings(hybrid_warmup=True, warmup_eps=1e-3,
+                        kkt_dtype="float32", refine_steps=2, mu_min=1e-7,
+                        polish=True)
+        res = qt.solve(p, s)
+        assert int(res.info.status_val) == qt.SOLVED, seed
+        rp, rd = kkt_residuals(Q, q, A, l, u, np.asarray(res.x),
+                               np.asarray(res.y))
+        assert rp < 1e-6 and rd < 1e-6, (seed, rp, rd)
+
+    # sharpening: with the identification correct, polished residuals sit
+    # well below eps (a weakly-active row can keep rp ~1e-8; still >10x
+    # sharper than the unpolished ~1e-6 iterate)
+    Q, q, A, l, u = random_qp(60, 90, seed=300)
+    p = qt.make_problem(Q, q, A, l, u)
+    res = qt.solve(p, qt.Settings(polish=True))
+    rp, rd = kkt_residuals(Q, q, A, l, u, np.asarray(res.x),
+                           np.asarray(res.y))
+    assert max(rp, rd) < 1e-7, (rp, rd)
+
+
+def test_polish_never_unverified():
+    """A rejected polish must leave the iterate untouched: with a tiny
+    iteration budget the loose iterate's active set is wrong, and the
+    result must either be honestly MAX_ITER_REACHED or genuinely solved —
+    never a claimed-SOLVED that fails the oracle."""
+    import qpdo_tpu as qt
+    from utils import kkt_residuals, random_qp
+
+    for seed in range(4):
+        Q, q, A, l, u = random_qp(50, 75, seed=400 + seed)
+        p = qt.make_problem(Q, q, A, l, u)
+        res = qt.solve(p, qt.Settings(max_iter=8, polish=True))
+        st = int(res.info.status_val)
+        assert st in (qt.SOLVED, qt.MAX_ITER_REACHED)
+        x = np.asarray(res.x)
+        assert np.all(np.isfinite(x))
+        if st == qt.SOLVED:
+            rp, rd = kkt_residuals(Q, q, A, l, u, x, np.asarray(res.y))
+            assert rp < 1e-6 and rd < 1e-6
+
+
+def test_polish_keeps_infeasibility_certificates():
+    """polish must not touch infeasibility-latched problems (their NaN
+    contract and certificates are part of the MEX output parity)."""
+    import qpdo_tpu as qt
+
+    # the primal-infeasible fixture of infeasibility_tests.m (lines 33-48)
+    Q = np.eye(2)
+    q = np.zeros(2)
+    A = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    l = np.array([0.0, 0.0, 3.0])
+    u = np.array([1.0, 1.0, np.inf])
+    p = qt.make_problem(Q, q, A, l, u)
+    res = qt.solve(p, qt.Settings(polish=True))
+    assert int(res.info.status_val) == qt.PRIMAL_INFEASIBLE
+    dy = np.asarray(res.prim_inf_cert)
+    assert np.all(np.isfinite(dy))
+    # Farkas validation as in infeasibility_tests.m:50-55
+    assert np.abs(A.T @ dy).max() <= 1e-6 * np.abs(dy).max() + 1e-12

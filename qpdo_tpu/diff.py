@@ -22,17 +22,20 @@ Let ``z = A x + y`` and ``act_i = 1`` iff ``z_i < l_i`` or ``z_i > u_i``
 (the same activity test as newton.c:96-107 in the mu -> 0 limit).  On
 inactive rows F2_i = -y_i (no data dependence); on active rows
 F2_i = (A x)_i - b_i with b the touched bound.  Implicit differentiation of
-F(z(theta), theta) = 0 gives, for a loss cotangent (gx, gy):
+F(z(theta), theta) = 0 is governed by the symmetric active-set saddle matrix
 
-    solve   (Q + sigma I + A' W A) u = gx + A' W gy,   W = diag(act / mu_d)
-    v = W (A u - gy)                                   (zero on inactive rows)
+    S = [[Q + sigma_d I,  (act*A)'                  ]]
+        [[act*A,          diag(-mu_d*act + (1-act))]]
 
-which is the exact adjoint saddle system  [Q  A_act'; A_act  0] in the limit
-``mu_d -> 0`` — the ``mu_d`` term is the same dual regularization the solver
-itself uses (types.h:164-169), so the backward pass reuses
-``ops.linalg.newton_system_solve`` verbatim.  Parameter cotangents:
+(ops/linalg.saddle_solve — the same system the solution polish factors;
+``mu_d``/``sigma_d`` are tiny regularizations in the roles the solver's own
+mu/sigma play, types.h:164-169).  Forward mode (jvp): the solution tangent
+solves  S [dx; dy] = [-(dQ x + dq + dA' y);  act*(db - dA x)]  with
+``db = act_low*dl + act_up*du``.  Reverse mode (vjp): since S is symmetric,
+the adjoint pair solves  S [u; v] = [gx; gy]  and the parameter cotangents
+read off as
 
-    dQ = -u x'          dq = -u           dA = -(y u' + v x')
+    dQ = -u x'          dq = -u           dA = -(y u' + (act*v) x')
     dl_i = v_i on active-at-lower rows    du_i = v_i on active-at-upper rows
 
 ``dQ`` is the raw (unsymmetrized) Jacobian: it matches finite differences of
@@ -41,9 +44,9 @@ a single entry.  For a symmetric parametrization of Q, symmetrize it
 
 Caveats: gradients are meaningful only when the forward solve converged
 (status SOLVED) at a solution with strict complementarity; at weakly-active
-constraints the map is nonsmooth and this returns one subgradient.  On TPU
-keep ``kkt_dtype='float32'`` and ``diff_mu >= 1e-6``; on CPU/f64 the default
-``diff_mu = 1e-9`` gives gradients accurate to ~1e-6 relative.
+constraints the map is nonsmooth and this returns one subgradient.  The
+saddle solve refines to state-dtype accuracy (~1e-12 relative on CPU/f64,
+measured; the earlier penalty-form adjoint floored at ~1e-6).
 """
 
 from __future__ import annotations
@@ -54,7 +57,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .ops.linalg import newton_system_solve
+from .ops.linalg import saddle_solve
 from .solver.core import solve_scaled
 from .solver.scaling import scale_problem
 from .types import Problem, Settings
@@ -75,6 +78,24 @@ def _qp_solve_fwd(Q, q, A, l, u, settings, diff_mu, diff_sigma):
     return (x, y), (Q, A, l, u, x, y)
 
 
+def _activity(A, x, y, l, u, dt):
+    """Active set from the solution itself: z = Ax + y sits strictly
+    outside [l, u] on active rows (displaced by the nonzero multiplier),
+    strictly inside on inactive ones — the mu -> 0 limit of
+    newton.c:96-107."""
+    z = A @ x + y
+    act_low = z < l
+    act_up = z > u
+    return act_low, act_up, (act_low | act_up).astype(dt)
+
+
+def _sigma_shift(Q, diff_sigma):
+    if diff_sigma == 0.0:
+        return Q
+    return Q + jnp.asarray(diff_sigma, Q.dtype) * jnp.eye(
+        Q.shape[-1], dtype=Q.dtype)
+
+
 def _qp_solve_bwd(settings, diff_mu, diff_sigma, saved, cotangents):
     Q, A, l, u, x, y = saved
     gx, gy = cotangents
@@ -82,35 +103,51 @@ def _qp_solve_bwd(settings, diff_mu, diff_sigma, saved, cotangents):
     gx = jnp.zeros_like(x) if gx is None else gx.astype(dt)
     gy = jnp.zeros_like(y) if gy is None else gy.astype(dt)
 
-    # activity from the solution itself: z = Ax + y sits strictly outside
-    # [l, u] on active rows (displaced by the nonzero multiplier), strictly
-    # inside on inactive ones — the mu -> 0 limit of newton.c:96-107.
-    z = A @ x + y
-    act_low = z < l
-    act_up = z > u
-    act = (act_low | act_up).astype(dt)
+    act_low, act_up, act = _activity(A, x, y, l, u, dt)
 
-    m = A.shape[0]
-    mu_vec = jnp.full((m,), diff_mu, dt)
-    W = act / mu_vec
-
-    rhs = gx + A.T @ (W * gy)
-    u_adj = newton_system_solve(Q, A, act, mu_vec,
-                                jnp.asarray(diff_sigma, dt), rhs,
-                                proximal=True,
+    # adjoint saddle solve: S is symmetric, so S [u; v] = [gx; gy] gives
+    # the cotangent pair directly (module docstring)
+    u_adj, v_adj = saddle_solve(_sigma_shift(Q, diff_sigma), A, act, gx, gy,
+                                diff_mu,
                                 refine_steps=max(settings.refine_steps, 2),
-                                kkt_dtype=settings.kkt_dtype)
-    v = W * (A @ u_adj - gy)
+                                lu_dtype=settings.kkt_dtype)
+    v_act = act * v_adj
 
     dQ = -jnp.outer(u_adj, x)
     dq = -u_adj
-    dA = -(jnp.outer(y, u_adj) + jnp.outer(v, x))
-    dl = jnp.where(act_low, v, 0.0)
-    du = jnp.where(act_up, v, 0.0)
+    dA = -(jnp.outer(y, u_adj) + jnp.outer(v_act, x))
+    dl = jnp.where(act_low, v_adj, 0.0)
+    du = jnp.where(act_up, v_adj, 0.0)
     return dQ, dq, dA, dl, du
 
 
 _qp_solve.defvjp(_qp_solve_fwd, _qp_solve_bwd)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(5, 6, 7))
+def _qp_solve_fwdmode(Q, q, A, l, u, settings: Settings, diff_mu: float,
+                      diff_sigma: float):
+    return _qp_solve(Q, q, A, l, u, settings, diff_mu, diff_sigma)
+
+
+@_qp_solve_fwdmode.defjvp
+def _qp_solve_jvp(settings, diff_mu, diff_sigma, primals, tangents):
+    Q, q, A, l, u = primals
+    dQ, dq, dA, dl, du = tangents
+    x, y = _qp_solve_fwdmode(Q, q, A, l, u, settings, diff_mu, diff_sigma)
+    dt = x.dtype
+
+    act_low, act_up, act = _activity(A, x, y, l, u, dt)
+
+    # tangent saddle solve (module docstring)
+    r1 = -(dQ @ x + dq + dA.T @ y)
+    db = jnp.where(act_low, dl, jnp.where(act_up, du, 0.0))
+    r2 = act * (db - dA @ x)
+    dx, dy = saddle_solve(_sigma_shift(Q, diff_sigma), A, act, r1, r2,
+                          diff_mu,
+                          refine_steps=max(settings.refine_steps, 2),
+                          lu_dtype=settings.kkt_dtype)
+    return (x, y), (dx, act * dy)
 
 
 class sparse_qp_layer:
@@ -234,22 +271,30 @@ class sparse_qp_layer:
 
 
 def qp_solve(Q, q, A, l, u, settings: Optional[Settings] = None, *,
-             diff_mu: Optional[float] = None, diff_sigma: float = 0.0):
+             diff_mu: Optional[float] = None, diff_sigma: float = 0.0,
+             mode: str = "reverse"):
     """Solve the QP and return ``(x, y)``, differentiable in all five data
-    arguments via implicit differentiation (one adjoint KKT solve per
-    backward pass; see the module docstring for the math).
+    arguments via implicit differentiation (one saddle solve per
+    backward/tangent pass; see the module docstring for the math).
 
     Jittable and vmappable; ``settings`` is static (a recompile per distinct
-    value).  ``diff_mu`` is the dual regularization of the adjoint system
-    (defaults to ``max(settings.mu_min, 1e-9)``); ``diff_sigma`` the primal
-    one (default 0 — the adjoint KKT matrix is SPD already whenever Q is
+    value).  ``mode`` selects the differentiation rule: ``"reverse"``
+    (``jax.custom_vjp`` — grad/jacrev) or ``"forward"`` (``jax.custom_jvp``
+    — jvp/jacfwd, the right choice for few-parameter sensitivities, e.g.
+    MPC sensitivity analysis); the primal solve is identical.  ``diff_mu``
+    is the dual regularization of the sensitivity saddle system (defaults
+    to ``max(settings.mu_min, 1e-9)``); ``diff_sigma`` the primal one
+    (default 0 — the saddle system is nonsingular already whenever Q is
     positive definite on the active set's null space).
     """
     settings = Settings() if settings is None else settings
     if diff_mu is None:
         diff_mu = max(float(settings.mu_min), 1e-9)
+    if mode not in ("reverse", "forward"):
+        raise ValueError("mode must be 'reverse' or 'forward'")
+    fn = _qp_solve if mode == "reverse" else _qp_solve_fwdmode
     Q = jnp.asarray(Q)
     dt = Q.dtype
-    return _qp_solve(Q, jnp.asarray(q, dt), jnp.asarray(A, dt),
-                     jnp.asarray(l, dt), jnp.asarray(u, dt),
-                     settings, float(diff_mu), float(diff_sigma))
+    return fn(Q, jnp.asarray(q, dt), jnp.asarray(A, dt),
+              jnp.asarray(l, dt), jnp.asarray(u, dt),
+              settings, float(diff_mu), float(diff_sigma))

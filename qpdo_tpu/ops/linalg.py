@@ -189,6 +189,24 @@ def saddle_polish_solve(Q, A, q, act, bnd, delta, refine_steps: int = 2,
     state-dtype matvecs.  Returns ``(xp, yp)``; a non-finite solve returns
     the zero vector (the caller's acceptance test rejects it).
     """
+    xp, yp = saddle_solve(Q, A, act, -q, act * bnd, delta, refine_steps,
+                          lu_dtype)
+    return xp, yp * act
+
+
+def saddle_solve(Q, A, act, rhs1, rhs2, delta, refine_steps: int = 2,
+                 lu_dtype=None):
+    """Solve the (symmetric, indefinite) active-set saddle system
+
+        [[Q,       (act*A)'                  ]]  [v1]   [rhs1]
+        [[act*A,   diag(-delta*act + (1-act))]]  [v2] = [rhs2]
+
+    by LU in ``lu_dtype`` + state-dtype iterative refinement.  Shared by the
+    solution polish (rhs = KKT data) and the differentiable layer's
+    forward/adjoint sensitivity systems (rhs = tangents / cotangents —
+    the system matrix is the same in all three roles, and symmetric, so
+    the adjoint solve reuses it verbatim).  Returns ``(v1, v2)``; v2 of
+    inactive rows solves the trivial equation v2_i = rhs2_i."""
     dt = Q.dtype
     ldt = jnp.dtype(lu_dtype) if lu_dtype is not None else dt
     n = Q.shape[-1]
@@ -198,7 +216,7 @@ def saddle_polish_solve(Q, A, q, act, bnd, delta, refine_steps: int = 2,
     bottom = jnp.concatenate(
         [Aact, jnp.diag(dblock).astype(dt)], axis=-1)
     S = jnp.concatenate([top, bottom], axis=-2)
-    rhs = jnp.concatenate([-q, act * bnd])
+    rhs = jnp.concatenate([rhs1, rhs2])
 
     lu, piv = jax.scipy.linalg.lu_factor(S.astype(ldt))
 
@@ -215,7 +233,7 @@ def saddle_polish_solve(Q, A, q, act, bnd, delta, refine_steps: int = 2,
         sol = sol + solve1(rhs - Smv(sol))
     finite = jnp.all(jnp.isfinite(sol))
     sol = jnp.where(finite, sol, jnp.zeros_like(sol))
-    return sol[:n], sol[n:] * act
+    return sol[:n], sol[n:]
 
 
 # ---------------------------------------------------------------------------

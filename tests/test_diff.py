@@ -263,3 +263,48 @@ def test_sparse_layer_large_n_grad_finite():
     g = jax.grad(loss)(jnp.asarray(q))
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.linalg.norm(g)) > 0
+
+
+def test_forward_mode_matches_reverse():
+    """mode='forward' (custom_jvp tangent saddle solve) agrees with the
+    reverse-mode Jacobian: jacfwd(q -> x) == jacrev(q -> x)."""
+    Q, q, A, l, u = make_qp(31)
+
+    def fx(qv, mode):
+        x, _ = qp_solve(Q, qv, A, l, u, SETTINGS, mode=mode)
+        return x
+
+    Jf = jax.jacfwd(lambda v: fx(v, "forward"))(jnp.asarray(q))
+    Jr = jax.jacrev(lambda v: fx(v, "reverse"))(jnp.asarray(q))
+    np.testing.assert_allclose(np.asarray(Jf), np.asarray(Jr),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_forward_mode_jvp_vs_fd():
+    """One jvp along a random direction vs central finite differences of
+    the solved QP (the full implicit-function oracle)."""
+    Q, q, A, l, u = make_qp(32)
+    rng = np.random.default_rng(33)
+    dq = rng.standard_normal(q.shape)
+    dl = rng.standard_normal(l.shape) * 0.01
+    du = rng.standard_normal(u.shape) * 0.01
+
+    def f(qv, lv, uv):
+        return qp_solve(Q, qv, A, lv, uv, SETTINGS, mode="forward")
+
+    (_, _), (dx, dy) = jax.jvp(
+        f, (jnp.asarray(q), jnp.asarray(l), jnp.asarray(u)),
+        (jnp.asarray(dq), jnp.asarray(dl), jnp.asarray(du)))
+
+    xp, yp = qp_solve(Q, q + H * dq, A, l + H * dl, u + H * du, SETTINGS)
+    xm, ym = qp_solve(Q, q - H * dq, A, l - H * dl, u - H * du, SETTINGS)
+    fd_dx = (np.asarray(xp) - np.asarray(xm)) / (2 * H)
+    fd_dy = (np.asarray(yp) - np.asarray(ym)) / (2 * H)
+    np.testing.assert_allclose(np.asarray(dx), fd_dx, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dy), fd_dy, rtol=1e-3, atol=1e-4)
+
+
+def test_qp_solve_mode_validation():
+    Q, q, A, l, u = make_qp(34)
+    with pytest.raises(ValueError):
+        qp_solve(Q, q, A, l, u, SETTINGS, mode="banana")

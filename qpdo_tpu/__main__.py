@@ -31,6 +31,9 @@ def main(argv=None) -> int:
                    help="densify below this n (default 1500)")
     p.add_argument("--ruiz-kkt", action="store_true",
                    help="joint Q/A KKT equilibration (wide-scale Q)")
+    p.add_argument("--polish", action="store_true",
+                   help="solution polish: exact active-set KKT solve, "
+                        "verified per problem (dense path)")
     p.add_argument("--cpu", action="store_true",
                    help="run on CPU float64 (most accurate; TPU is the "
                         "default when attached)")
@@ -68,7 +71,7 @@ def main(argv=None) -> int:
 
     settings = Settings(eps_abs=args.eps, max_iter=args.max_iter,
                         max_time=args.max_time, ruiz_kkt=args.ruiz_kkt,
-                        verbose=args.verbose)
+                        polish=args.polish, verbose=args.verbose)
     if on_accelerator:
         # TPU-safe factorization precision: float64 Cholesky crashes the
         # axon device (CLAUDE.md / README "Precision model"); keep the

@@ -721,6 +721,12 @@ def solve_scaled(op, settings: Settings,
         s0 = polish_state(op, settings, s0)
     else:
         s0 = init_state(op, settings, x0, y0, warm_x, warm_y)
+        if warm_x and warm_y:
+            # warm-start polish: an MPC re-solve whose active set is
+            # unchanged finishes in ZERO iterations — one verified saddle
+            # solve replaces the whole penalty schedule (no-op unless
+            # settings.polish; rejected polishes fall through to the loop)
+            s0 = polish_state(op, settings, s0)
     s = run_loop(op, settings, s0, settings.max_iter)
     # final polish: sharpen solved iterates / rescue unsolved ones
     s = polish_state(op, settings, s)

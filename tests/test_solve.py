@@ -360,3 +360,25 @@ def test_polish_keeps_infeasibility_certificates():
     assert np.all(np.isfinite(dy))
     # Farkas validation as in infeasibility_tests.m:50-55
     assert np.abs(A.T @ dy).max() <= 1e-6 * np.abs(dy).max() + 1e-12
+
+
+def test_polish_warm_resolve_zero_iterations():
+    """MPC re-solve with an unchanged active set: warm start + polish
+    finishes in zero iterations (one verified saddle solve), still
+    oracle-verified on the perturbed problem."""
+    import qpdo_tpu as qt
+    from utils import kkt_residuals, random_qp
+
+    Q, q, A, l, u = random_qp(40, 60, seed=500)
+    p = qt.make_problem(Q, q, A, l, u)
+    s = qt.Settings(polish=True)
+    cold = qt.solve(p, s)
+    assert int(cold.info.status_val) == qt.SOLVED
+    q2 = q + 1e-5
+    p2 = p._replace(q=qt.make_problem(Q, q2, A, l, u).q)
+    warm = qt.solve(p2, s, x0=cold.x, y0=cold.y)
+    assert int(warm.info.status_val) == qt.SOLVED
+    assert int(warm.info.iterations) == 0
+    rp, rd = kkt_residuals(Q, q2, A, l, u, np.asarray(warm.x),
+                           np.asarray(warm.y))
+    assert rp < 1e-6 and rd < 1e-6

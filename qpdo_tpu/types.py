@@ -261,8 +261,10 @@ class Settings:
     # a wrong active-set guess is rejected and the iterate is untouched.
     # Fired (a) right after the hybrid float32 warmup, where a successful
     # polish skips the accurate phase entirely (~97% success from a 1e-4
-    # warm point on the bench family), and (b) after the main loop, where
-    # it sharpens solved iterates and can rescue MAX_ITER stragglers.
+    # warm point on the bench family), (b) after the main loop, where it
+    # sharpens solved iterates and can rescue MAX_ITER stragglers, and
+    # (c) before the loop on fully-warm solves (x0 and y0 given), where an
+    # unchanged active set finishes the MPC re-solve in zero iterations.
     polish: bool = False
     # Dual regularization of the polish saddle system (handles
     # duplicated/dependent active rows).

@@ -382,3 +382,48 @@ def test_polish_warm_resolve_zero_iterations():
     rp, rd = kkt_residuals(Q, q2, A, l, u, np.asarray(warm.x),
                            np.asarray(warm.y))
     assert rp < 1e-6 and rd < 1e-6
+
+
+def test_polish_edge_cases():
+    """Saddle polish on degenerate structures: duplicated active rows
+    (more actives than variables — the -delta regularization path), all
+    constraints inactive, pure LP (Q=0), and equality rows (l == u)."""
+    import qpdo_tpu as qt
+
+    rng = np.random.default_rng(0)
+    s = qt.Settings(polish=True)
+
+    n, m = 5, 12
+    A = np.vstack([np.eye(5), np.eye(5), rng.standard_normal((2, 5))])
+    Q = np.eye(n) * 0.5
+    q = -np.ones(n)
+    l = -0.1 * np.ones(m)
+    u = 0.1 * np.ones(m)
+    res = qt.solve(qt.make_problem(Q, q, A, l, u), s)
+    x, y = np.asarray(res.x), np.asarray(res.y)
+    Ax = A @ x
+    assert int(res.info.status_val) == qt.SOLVED
+    assert np.abs(Ax - np.clip(Ax + y, l, u)).max() < 1e-6
+    assert np.abs(Q @ x + q + A.T @ y).max() < 1e-6
+
+    Q = np.zeros((8, 8))
+    q = rng.standard_normal(8)
+    A = np.vstack([np.eye(8), rng.standard_normal((8, 8))])
+    l, u = -np.ones(16), np.ones(16)
+    res = qt.solve(qt.make_problem(Q, q, A, l, u), s)
+    x, y = np.asarray(res.x), np.asarray(res.y)
+    Ax = A @ x
+    assert int(res.info.status_val) == qt.SOLVED
+    assert np.abs(Ax - np.clip(Ax + y, l, u)).max() < 1e-6
+    assert np.abs(q + A.T @ y).max() < 1e-6
+
+    M = rng.standard_normal((10, 10))
+    Q = M @ M.T / 10 + 0.1 * np.eye(10)
+    q = rng.standard_normal(10)
+    A = rng.standard_normal((6, 10))
+    b = rng.standard_normal(6) * 0.1
+    res = qt.solve(qt.make_problem(Q, q, A, b, b), s)
+    x, y = np.asarray(res.x), np.asarray(res.y)
+    assert int(res.info.status_val) == qt.SOLVED
+    assert np.abs(A @ x - b).max() < 1e-6
+    assert np.abs(Q @ x + q + A.T @ y).max() < 1e-6

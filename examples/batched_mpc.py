@@ -58,6 +58,19 @@ def main():
           f"mean {float(np.asarray(warm.info.iterations).mean()):.1f} iters, "
           f"{time.perf_counter() - t0:.2f}s")
 
+    # warm + polish: when the drift leaves the active sets unchanged, one
+    # verified saddle solve replaces the whole iteration (0 iters/problem).
+    # hybrid_warmup off: the zero-iteration pre-loop polish lives on the
+    # direct path, and a near-optimal warm start has no use for the f32
+    # warmup phase anyway.
+    sp = settings.replace(polish=True, hybrid_warmup=False)
+    t0 = time.perf_counter()
+    pol = solve_batch(problems2, sp, x0=cold.x, y0=cold.y)
+    solved = np.asarray(pol.info.status_val) == qt.SOLVED
+    print(f"warm+polish: {solved.mean():.0%} solved, "
+          f"mean {float(np.asarray(pol.info.iterations).mean()):.1f} iters, "
+          f"{time.perf_counter() - t0:.2f}s (includes compile)")
+
 
 if __name__ == "__main__":
     main()

@@ -54,10 +54,10 @@ def bench_demo():
     s = qt.Settings(eps_abs=1e-6, max_iter=300, inner_max_iter=50,
                     eps_abs_in=0.1, rho=0.02, delta=0.1,
                     refine_steps=2, kkt_dtype="float32", hybrid_warmup=True,
-                    mu_min=1e-7, cert_dtype="float32", warmup_eps=1e-4,
+                    mu_min=1e-7, cert_dtype="float32", warmup_eps=1e-3,
                     linesearch="bisect", linesearch_dtype="float32",
                     phase2_gemm_dtype="float32", hard_rows=8,
-                    anchor_every=10)
+                    anchor_every=10, polish=True)
     run = lambda: _sync(_solve_batch(p, s, None, None, False, False))
     res = run()
     t0 = time.perf_counter()
@@ -109,10 +109,10 @@ def bench_degenerate():
     s = qt.Settings(eps_abs=1e-6, max_iter=400, inner_max_iter=50,
                     eps_abs_in=0.1, rho=0.02, delta=0.1,
                     refine_steps=2, kkt_dtype="float32", hybrid_warmup=True,
-                    mu_min=1e-7, cert_dtype="float32", warmup_eps=1e-4,
+                    mu_min=1e-7, cert_dtype="float32", warmup_eps=1e-3,
                     linesearch="bisect", linesearch_dtype="float32",
                     phase2_gemm_dtype="float32", hard_rows=8,
-                    anchor_every=10)
+                    anchor_every=10, polish=True)
     res = _sync(_solve_batch(p, s, None, None, False, False))
     st = np.asarray(res.info.status_val)
     return {"config": "degenerate", "solved_fraction": float((st == 1).mean()),
@@ -131,16 +131,19 @@ def bench_mpc():
     s = qt.Settings(eps_abs=1e-6, max_iter=300, inner_max_iter=50,
                     eps_abs_in=0.1, rho=0.02, delta=0.1,
                     refine_steps=2, kkt_dtype="float32", hybrid_warmup=True,
-                    mu_min=1e-7, cert_dtype="float32", warmup_eps=1e-4,
+                    mu_min=1e-7, cert_dtype="float32", warmup_eps=1e-3,
                     linesearch="bisect", linesearch_dtype="float32",
                     phase2_gemm_dtype="float32", hard_rows=8,
-                    anchor_every=10)
+                    anchor_every=10, polish=True)
     cold = _sync(_solve_batch(p, s, None, None, False, False))
     rng = np.random.default_rng(4)
     p2 = p._replace(q=p.q + 1e-3 * jnp.asarray(rng.standard_normal((B, n))))
     x0 = cold.x
     y0 = cold.y
-    run = lambda: _sync(_solve_batch(p2, s, x0, y0, True, True))
+    # warm re-solve on the direct path: the pre-loop verified polish
+    # finishes unchanged-active-set problems in zero iterations
+    sw = s.replace(hybrid_warmup=False)
+    run = lambda: _sync(_solve_batch(p2, sw, x0, y0, True, True))
     warm = run()
     t0 = time.perf_counter()
     warm = run()

@@ -86,7 +86,7 @@ def measure_peak_tflops(reps: int = 3, size: int = 4096) -> dict:
     return out
 
 
-def _wait_for_backend(max_wait_s: float = None) -> None:
+def _wait_for_backend(max_wait_s: "float | None" = None) -> None:
     """Block until the JAX backend initializes (in a subprocess, so a failed
     attempt doesn't poison this process's cached backend state).  The axon
     TPU occasionally crashes and takes minutes to re-initialize; without

@@ -156,6 +156,10 @@ def _solve_batch_compact(problems: Problem, settings: Settings, x0, y0,
             sp1, settings, xw, yw, warm_x, warm_y),
             in_axes=(0, 0 if warm_x else None, 0 if warm_y else None))(
                 sps, x0, y0)
+        if warm_x and warm_y:
+            # warm-start pre-loop polish, matching core.solve_scaled
+            s = jax.vmap(lambda sp1, s1: core.polish_state(
+                sp1, settings, s1))(sps, s)
 
     s = run_compact(sps, settings, s, settings.max_iter)
     # final polish (no-op unless settings.polish)

@@ -628,12 +628,18 @@ def polish_state(op, settings: Settings, s: SolverState) -> SolverState:
 
     pick = lambda new, old: tmap(
         lambda nv, ov: jnp.where(accept, nv, ov), new, old)
+    # on acceptance the prox centers move to the polished point and the
+    # inner norms are re-stamped with the (verified) outer norms, so every
+    # Info field of a polished result belongs to the returned (x, y)
     return s._replace(
         x=pick(xp, s.x), y=pick(yp, s.y),
         Qx=pick(Qxp, s.Qx), Ax=pick(Axp, s.Ax), Aty=pick(Atyp, s.Aty),
+        xbar=pick(xp, s.xbar), ybar=pick(yp, s.ybar),
         status=jnp.where(accept, _c.SOLVED, s.status).astype(jnp.int32),
         res_prim_norm=jnp.where(accept, rp, s.res_prim_norm),
-        res_dual_norm=jnp.where(accept, rd, s.res_dual_norm))
+        res_dual_norm=jnp.where(accept, rd, s.res_dual_norm),
+        res_prim_in_norm=jnp.where(accept, rp, s.res_prim_in_norm),
+        res_dual_in_norm=jnp.where(accept, rd, s.res_dual_in_norm))
 
 
 def warmup_settings(settings: Settings) -> Settings:

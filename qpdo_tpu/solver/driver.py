@@ -35,7 +35,11 @@ def _init(sp, settings, x0, y0, warm_x, warm_y):
         s = core._warmup_pass(sp, settings, x0, y0, warm_x, warm_y)
         # post-warmup polish (no-op unless settings.polish)
         return core.polish_state(sp, settings, s)
-    return core.init_state(sp, settings, x0, y0, warm_x, warm_y)
+    s = core.init_state(sp, settings, x0, y0, warm_x, warm_y)
+    if warm_x and warm_y:
+        # warm-start pre-loop polish, matching core.solve_scaled
+        s = core.polish_state(sp, settings, s)
+    return s
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))

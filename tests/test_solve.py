@@ -427,3 +427,54 @@ def test_polish_edge_cases():
     assert int(res.info.status_val) == qt.SOLVED
     assert np.abs(A @ x - b).max() < 1e-6
     assert np.abs(Q @ x + q + A.T @ y).max() < 1e-6
+
+
+def test_polish_warm_paths_agree():
+    """The warm-start pre-loop polish must fire on all three delivery
+    paths: the jitted solve_scaled, the host-driven (verbose/max_time)
+    driver, and the compaction batch driver (code-review regression)."""
+    import jax
+    import jax.numpy as jnp
+
+    import qpdo_tpu as qt
+    from qpdo_tpu.parallel.batch import solve_batch
+    from utils import random_qp
+
+    Q, q, A, l, u = random_qp(30, 45, seed=600)
+    p = qt.make_problem(Q, q, A, l, u)
+    s = qt.Settings(polish=True)
+    cold = qt.solve(p, s)
+    p2 = p._replace(q=p.q + 1e-6)
+
+    # host-driven path (finite max_time routes through solve_driven)
+    s_driven = s.replace(max_time=1e6)
+    warm_driven = qt.solve(p2, s_driven, x0=cold.x, y0=cold.y)
+    assert int(warm_driven.info.status_val) == qt.SOLVED
+    assert int(warm_driven.info.iterations) == 0
+
+    # compaction batch path
+    B = 4
+    pb = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), p2)
+    x0 = jnp.broadcast_to(cold.x, (B,) + cold.x.shape)
+    y0 = jnp.broadcast_to(cold.y, (B,) + cold.y.shape)
+    warm_b = solve_batch(pb, s, x0=x0, y0=y0, compact=True)
+    assert np.all(np.asarray(warm_b.info.status_val) == qt.SOLVED)
+    assert np.all(np.asarray(warm_b.info.iterations) == 0)
+
+
+def test_polish_info_consistency():
+    """A polished result's Info must be self-consistent: inner residual
+    norms re-stamped to the verified outer norms (code-review
+    regression: a rescued straggler must not report SOLVED with stale
+    large inner norms)."""
+    import qpdo_tpu as qt
+    from utils import random_qp
+
+    Q, q, A, l, u = random_qp(30, 45, seed=601)
+    p = qt.make_problem(Q, q, A, l, u)
+    cold = qt.solve(p, qt.Settings(polish=True))
+    warm = qt.solve(p, qt.Settings(polish=True), x0=cold.x, y0=cold.y)
+    assert int(warm.info.iterations) == 0
+    assert float(warm.info.res_prim_in_norm) <= 1e-6
+    assert float(warm.info.res_dual_in_norm) <= 1e-6
+    assert float(warm.info.res_prim_in_norm) == float(warm.info.res_prim_norm)

@@ -153,6 +153,20 @@ def init_state(op, settings: Settings,
 # One masked solver step (the body of the main loop, qpdo.c:343-449)
 # ---------------------------------------------------------------------------
 
+def outer_residuals(op, y, Qx, Ax, Aty):
+    """Outer residual vectors + unscaled norms at an arbitrary iterate
+    (iteration.c:30-60; norms termination.c:35-53):
+    res_prim = Ax - proj_[l,u](Ax + E*(E*y)*cinv)   [scaled space]."""
+    cinv = op.cinv
+    res_prim = tmap(
+        lambda Ax1, E, y1, l, u: Ax1 - jnp.clip(Ax1 + (E * E * cinv) * y1, l, u),
+        Ax, op.E, y, op.l, op.u)
+    res_dual = tmap(lambda Qx1, q, Aty1: Qx1 + q + Aty1, Qx, op.q, Aty)
+    rp = tnorm_inf(tmap(jnp.multiply, op.Einv, res_prim))
+    rd = tnorm_inf(tmap(jnp.multiply, op.Dinv, res_dual)) * cinv
+    return res_prim, res_dual, rp, rd
+
+
 @_with_matmul_precision
 def step(op, settings: Settings, s: SolverState) -> SolverState:
     op = as_operator(op)
@@ -163,14 +177,8 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
     cost = op.cost
     sigma = s.sigma
 
-    # ---- outer residuals (iteration.c:30-60; norms termination.c:35-53) ----
-    # res_prim = Ax - proj_[l,u](Ax + E*(E*y)*cinv)   [scaled space]
-    res_prim = tmap(
-        lambda Ax, E, y, l, u: Ax - jnp.clip(Ax + (E * E * cinv) * y, l, u),
-        s.Ax, op.E, s.y, op.l, op.u)
-    res_dual = tmap(lambda Qx, q, Aty: Qx + q + Aty, s.Qx, op.q, s.Aty)
-    res_prim_norm = tnorm_inf(tmap(jnp.multiply, op.Einv, res_prim))
-    res_dual_norm = tnorm_inf(tmap(jnp.multiply, op.Dinv, res_dual)) * cinv
+    res_prim, res_dual, res_prim_norm, res_dual_norm = outer_residuals(
+        op, s.y, s.Qx, s.Ax, s.Aty)
 
     # ---- inner residuals (iteration.c:65-93; norms termination.c:58-77) ----
     w = tmap(lambda Ax, mu, ybar, y: Ax + mu * (ybar - 0.5 * y),
@@ -611,14 +619,11 @@ def polish_state(op, settings: Settings, s: SolverState) -> SolverState:
     xp, yp = op.saddle_polish(act, bnd, settings)
 
     # verify: recomputed outer residuals of the polished pair (exact
-    # state-dtype matvecs; same formulas as step())
+    # state-dtype matvecs; the same formulas step() terminates on)
     Qxp = op.Qmv(xp)
     Axp = op.Amv(xp)
     Atyp = op.Atmv(yp)
-    res_prim = Axp - jnp.clip(Axp + (op.E * op.E * cinv) * yp, op.l, op.u)
-    res_dual = Qxp + op.q + Atyp
-    rp = tnorm_inf(op.Einv * res_prim)
-    rd = tnorm_inf(op.Dinv * res_dual) * cinv
+    _, _, rp, rd = outer_residuals(op, yp, Qxp, Axp, Atyp)
 
     meets = (rp <= eps_abs) & (rd <= eps_abs)
     cur = jnp.maximum(s.res_prim_norm, s.res_dual_norm)

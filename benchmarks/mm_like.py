@@ -175,16 +175,36 @@ def apply_scale_stress(rng, Q, q, A, l, u):
 
 
 def apply_degeneracy(rng, Q, q, A, l, u):
-    """Duplicate 20% of rows (rank-deficient A) and fix 5% of variables."""
+    """Duplicate 20% of rows (rank-deficient A) and fix 5% of variables.
+
+    The fixing values are anchored at a feasibility witness (the min-norm
+    solution of the equality rows, or 0 when there are none) so the
+    stressed instance stays FEASIBLE: random fixing values combined with
+    equality rows + boxes made large instances genuinely primal
+    infeasible — the solver then returned a numerically valid Farkas
+    certificate which the harness miscounted as a miss
+    (logs/mm_like_regression_r2late.log CVXQP1D029)."""
+    from scipy.sparse.linalg import lsqr
+
     m, n = A.shape
     k = max(1, m // 5)
     pick = rng.integers(0, m, k)
     A2 = sps.vstack([A, A[pick]]).tocsr()
     l2 = np.concatenate([l, l[pick]])
     u2 = np.concatenate([u, u[pick]])
+
+    eq = np.isfinite(l) & (l == u)
+    if eq.any():
+        anchor = lsqr(A[eq], l[eq], atol=1e-12, btol=1e-12)[0]
+    else:
+        anchor = np.zeros(n)
+    Ax = A @ anchor
+    assert np.all(Ax >= l - 1e-6) and np.all(Ax <= u + 1e-6), \
+        "degeneracy anchor is not feasible for the base instance"
+
     nfix = max(1, n // 20)
     vfix = rng.integers(0, n, nfix)
-    vals = rng.standard_normal(nfix) * 0.1
+    vals = anchor[vfix]
     F = sps.csr_matrix((np.ones(nfix), (np.arange(nfix), vfix)), shape=(nfix, n))
     return Q, q, sps.vstack([A2, F]).tocsr(), \
         np.concatenate([l2, vals]), np.concatenate([u2, vals])

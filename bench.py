@@ -177,7 +177,20 @@ def main():
         np.asarray(res.info.status_val)
         return res
 
-    res = run_sync()  # compile + warmup
+    fallback = None
+    try:
+        res = run_sync()  # compile + warmup
+    except Exception as e:  # noqa: BLE001 — resilience of the official run
+        # safety net for the round-recorded number: if the polish path
+        # fails on this backend (e.g. an unsupported batched LU), fall
+        # back to the proven no-polish round-2 configuration rather than
+        # reporting nothing
+        if not settings.polish:
+            raise
+        fallback = f"nopolish ({type(e).__name__})"
+        print(f"# polish path failed ({e!r}); falling back", flush=True)
+        settings = settings.replace(polish=False, warmup_eps=1e-4)
+        res = run_sync()
     solved = float(jnp.mean((res.info.status_val == qt.SOLVED).astype(jnp.float64)))
 
     # independent host-side oracle: the solutions must satisfy the ORIGINAL
@@ -235,6 +248,7 @@ def main():
         "oracle_verified_fraction": round(oracle_ok, 4),
         "oracle_max_res": round(float(max(rp.max(), rd.max())), 9),
         "timing_spread": round(max(times) / min(times), 3),
+        **({"fallback": fallback} if fallback else {}),
     }))
 
 

@@ -478,3 +478,36 @@ def test_polish_info_consistency():
     assert float(warm.info.res_prim_in_norm) <= 1e-6
     assert float(warm.info.res_dual_in_norm) <= 1e-6
     assert float(warm.info.res_prim_in_norm) == float(warm.info.res_prim_norm)
+
+
+def test_saddle_solve_unit():
+    """ops.linalg.saddle_solve vs a NumPy block solve, including the f32-LU
+    + refinement mode."""
+    import jax.numpy as jnp
+
+    from qpdo_tpu.ops.linalg import saddle_solve
+
+    rng = np.random.default_rng(9)
+    n, m = 12, 18
+    M = rng.standard_normal((n, n))
+    Q = M @ M.T / n + 0.3 * np.eye(n)
+    A = rng.standard_normal((m, n))
+    act = (rng.random(m) < 0.5).astype(float)
+    r1 = rng.standard_normal(n)
+    r2 = rng.standard_normal(m)
+    delta = 1e-8
+
+    Aact = act[:, None] * A
+    S = np.block([[Q, Aact.T],
+                  [Aact, np.diag(-delta * act + (1 - act))]])
+    ref = np.linalg.solve(S, np.concatenate([r1, r2]))
+
+    for lu_dtype in (None, "float32"):
+        v1, v2 = saddle_solve(jnp.asarray(Q), jnp.asarray(A),
+                              jnp.asarray(act), jnp.asarray(r1),
+                              jnp.asarray(r2), delta, refine_steps=3,
+                              lu_dtype=lu_dtype)
+        np.testing.assert_allclose(np.asarray(v1), ref[:n],
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(v2), ref[n:],
+                                   rtol=1e-9, atol=1e-9)

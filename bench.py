@@ -20,17 +20,24 @@ import numpy as np
 
 def flops_per_iteration(n: int, m: int, refine_steps: int,
                         kkt_update_rows: int = 0,
-                        anchor_every: int = 10) -> float:
+                        anchor_every: int = 10,
+                        with_certs: bool = True) -> float:
     """Analytic FLOPs of one solver iteration for one problem (multiply+add
     = 2 FLOPs).  Counts the O(n^2)/O(mn) dense work of solver/core.py
     `step` + ops/linalg.py `newton_system_solve` (or its incremental
     variant when kkt_update_rows > 0); elementwise O(n+m) terms are
-    ignored (<1%)."""
+    ignored (<1%).  ``with_certs=False`` drops the infeasibility-
+    certificate GEMMs, which the float32 warmup phase skips
+    (warmup_settings zeroes eps_*_inf) — the true per-solve FLOPs sit
+    between the two variants, so bench.py reports both MFU bounds."""
     cholesky = n ** 3 / 3.0
     tri_solves = 2.0 * n * n                     # two triangular solves
     at_ytilde = 2.0 * m * n                      # rhs matvec
     qdx = 2.0 * n * n                            # Q dx (linesearch input)
-    cert_gemms = 8.0 * m * n + 2.0 * n * n       # A@[dx,dxc], A'@[dy,dyc], Qdxc
+    if with_certs:
+        cert_gemms = 8.0 * m * n + 2.0 * n * n   # A@[dx,dxc], A'@[dy,dyc], Qdxc
+    else:
+        cert_gemms = 4.0 * m * n                 # A@dx, A'@dy only
     if kkt_update_rows > 0:
         k = min(kkt_update_rows, m)
         formation = (2.0 * k * n * n               # top-k row update
@@ -223,14 +230,20 @@ def main():
 
     # ---- FLOP / MFU accounting ------------------------------------------
     peak = measure_peak_tflops()
-    total_flops = B * mean_iters * flops_per_iteration(
-        n, m, settings.refine_steps, settings.kkt_update_rows,
-        settings.anchor_every)
-    if settings.polish:
-        # two polish calls per solve: post-warmup + final
-        total_flops += B * 2 * polish_flops(n, m, settings.polish_refine)
+    def total(with_certs: bool) -> float:
+        f = B * mean_iters * flops_per_iteration(
+            n, m, settings.refine_steps, settings.kkt_update_rows,
+            settings.anchor_every, with_certs)
+        if settings.polish:
+            # two polish calls per solve: post-warmup + final
+            f += B * 2 * polish_flops(n, m, settings.polish_refine)
+        return f
+
+    total_flops = total(True)
+    total_flops_lower = total(False)
     achieved_tflops = total_flops / dt / 1e12
     mfu = achieved_tflops / peak["f32_highest"]
+    mfu_lower = total_flops_lower / dt / 1e12 / peak["f32_highest"]
 
     baseline = 10_000.0  # north-star QPs/s/chip (BASELINE.json)
     print(json.dumps({
@@ -245,6 +258,7 @@ def main():
         "peak_tflops_f32_highest": round(peak["f32_highest"], 3),
         "peak_tflops_bf16": round(peak["bf16"], 3),
         "mfu": round(mfu, 4),
+        "mfu_lower": round(mfu_lower, 4),
         "oracle_verified_fraction": round(oracle_ok, 4),
         "oracle_max_res": round(float(max(rp.max(), rd.max())), 9),
         "timing_spread": round(max(times) / min(times), 3),

@@ -73,3 +73,30 @@ def test_warm_start_row_sharded():
     res, m_orig = solve_row_sharded(p, x0=cold.x, y0=np.asarray(cold.y)[:m])
     assert int(res.info.status_val) == qt.SOLVED
     assert int(res.info.iterations) < int(cold.info.iterations)
+
+
+def test_row_sharded_with_polish():
+    """polish=True composes with the row-sharded path: the saddle LU runs
+    under GSPMD (XLA repartitions the sharded rows) and the polished
+    result is oracle-verified."""
+    import numpy as np
+
+    import qpdo_tpu as qt
+    from qpdo_tpu.parallel import solve_row_sharded
+
+    rng = np.random.default_rng(4)
+    n, m = 24, 32
+    M = rng.standard_normal((n, n))
+    Q = M @ M.T / n + 0.1 * np.eye(n)
+    p = qt.make_problem(Q, rng.standard_normal(n),
+                        rng.standard_normal((m, n)), -np.ones(m), np.ones(m))
+    res, m_orig = solve_row_sharded(p, qt.Settings(polish=True))
+    assert int(res.info.status_val) == qt.SOLVED
+    x = np.asarray(res.x)
+    y = np.asarray(res.y)[:m_orig]
+    A = np.asarray(p.A)
+    l = np.asarray(p.l)
+    u = np.asarray(p.u)
+    Ax = A @ x
+    assert np.abs(Ax - np.clip(Ax + y, l, u)).max() < 1e-6
+    assert np.abs(Q @ x + np.asarray(p.q) + A.T @ y).max() < 1e-6

@@ -93,11 +93,12 @@ def measure_peak_tflops(reps: int = 3, size: int = 4096) -> dict:
     return out
 
 
-def _wait_for_backend(max_wait_s: "float | None" = None) -> None:
+def _wait_for_backend(max_wait_s: "float | None" = None) -> bool:
     """Block until the JAX backend initializes (in a subprocess, so a failed
     attempt doesn't poison this process's cached backend state).  The axon
     TPU occasionally crashes and takes minutes to re-initialize; without
-    this, a bench run landing in that window reports nothing at all."""
+    this, a bench run landing in that window reports nothing at all.
+    Returns True if the backend came up, False if the wait was exhausted."""
     import os
     import subprocess
     import sys
@@ -105,21 +106,25 @@ def _wait_for_backend(max_wait_s: "float | None" = None) -> None:
     if max_wait_s is None:
         max_wait_s = float(os.environ.get("QPDO_BENCH_WAIT", "1800"))
     if max_wait_s <= 0:
-        return
+        return True
     deadline = time.monotonic() + max_wait_s
     attempt = 0
     while True:
         attempt += 1
-        ok = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True, timeout=max(60.0, max_wait_s / 2),
-        ).returncode == 0
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=max(60.0, max_wait_s / 2),
+            ).returncode == 0
+        except subprocess.TimeoutExpired:
+            # a hung probe (chip mid-re-init) counts as a failed attempt
+            ok = False
         if ok:
-            return
+            return True
         if time.monotonic() > deadline:
-            print(f"# backend probe failed {attempt}x, proceeding anyway",
-                  flush=True)
-            return
+            print(f"# backend probe failed {attempt}x after "
+                  f"{max_wait_s:.0f}s", flush=True)
+            return False
         time.sleep(30.0)
 
 
@@ -128,7 +133,14 @@ def main():
 
     import jax
 
-    _wait_for_backend()
+    platform = None
+    if not _wait_for_backend():
+        # the TPU never recovered: report a CPU number (flagged in the JSON)
+        # rather than nothing — the env var alone is ignored (sitecustomize),
+        # so set the config BEFORE any computation touches the backend
+        print("# TPU unavailable; falling back to CPU", flush=True)
+        jax.config.update("jax_platforms", "cpu")
+        platform = "cpu"
     jax.config.update("jax_enable_x64", True)
 
     import jax.numpy as jnp
@@ -263,6 +275,7 @@ def main():
         "oracle_max_res": round(float(max(rp.max(), rd.max())), 9),
         "timing_spread": round(max(times) / min(times), 3),
         **({"fallback": fallback} if fallback else {}),
+        **({"platform": platform} if platform else {}),
     }))
 
 

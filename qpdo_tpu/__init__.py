@@ -8,7 +8,7 @@ warm starting, parametric updates, and primal/dual infeasibility
 certificates — batched with ``vmap`` and sharded across TPU meshes.
 """
 
-from . import constants
+from . import applications, constants
 from .constants import (
     SOLVED, NON_CVX, PRIMAL_INFEASIBLE, DUAL_INFEASIBLE,
     MAX_ITER_REACHED, MAX_TIME_REACHED, UNSOLVED, QPDO_INFTY,
@@ -27,5 +27,5 @@ __all__ = [
     "solve", "solve_sparse", "solve_sparse_batch", "make_problem", "QPDO", "scale_problem", "solve_scaled", "qp_solve", "sparse_qp_layer",
     "SOLVED", "NON_CVX", "PRIMAL_INFEASIBLE", "DUAL_INFEASIBLE",
     "MAX_ITER_REACHED", "MAX_TIME_REACHED", "UNSOLVED", "QPDO_INFTY",
-    "constants",
+    "applications", "constants",
 ]

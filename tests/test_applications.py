@@ -1,0 +1,193 @@
+"""Applications layer: each canonical formulation is verified against an
+independent oracle (scipy.optimize, Riccati recursion, duality gap, or the
+problem's own KKT conditions) — never against the solver itself."""
+
+import numpy as np
+import pytest
+
+import qpdo_tpu as qt
+from qpdo_tpu import applications as apps
+
+S = qt.Settings(verbose=False)
+
+
+def _solve(problem, settings=S):
+    res = qt.solve(problem, settings)
+    assert int(res.info.status_val) == qt.SOLVED
+    return res
+
+
+def test_lasso_kkt_subgradient():
+    rng = np.random.default_rng(0)
+    F = rng.standard_normal((40, 15))
+    xtrue = np.zeros(15)
+    xtrue[:3] = [2.0, -1.5, 1.0]
+    b = F @ xtrue + 0.05 * rng.standard_normal(40)
+    lam = 2.0
+    res = _solve(apps.lasso(F, b, lam))
+    x = np.asarray(res.x)[:15]
+    g = F.T @ (F @ x - b)
+    tol = 1e-5
+    active = np.abs(x) > 1e-6
+    # subgradient optimality: g_i = -lam*sign(x_i) on the support,
+    # |g_i| <= lam off it
+    assert np.all(np.abs(g[active] + lam * np.sign(x[active])) <= tol)
+    assert np.all(np.abs(g[~active]) <= lam + tol)
+    # lasso shrinks: a lam this size must zero most of the noise support
+    assert active.sum() <= 8
+
+
+def test_nonneg_ls_matches_scipy():
+    from scipy.optimize import nnls
+
+    rng = np.random.default_rng(1)
+    F = rng.standard_normal((30, 12))
+    b = rng.standard_normal(30)
+    res = _solve(apps.nonneg_ls(F, b))
+    x_ref, _ = nnls(F, b)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, atol=1e-6)
+
+
+def test_svm_dual_strong_duality():
+    rng = np.random.default_rng(2)
+    N = 40
+    X = np.concatenate([rng.standard_normal((N // 2, 2)) + 1.6,
+                        rng.standard_normal((N // 2, 2)) - 1.6])
+    y = np.concatenate([np.ones(N // 2), -np.ones(N // 2)])
+    C = 1.0
+    res = _solve(apps.svm_dual(X, y, C))
+    a = np.asarray(res.x)
+    assert np.all(a >= -1e-7) and np.all(a <= C + 1e-7)
+    assert abs(y @ a) <= 1e-7
+    w, bias = apps.svm_primal_from_dual(X, y, C, a)
+    w, bias = np.asarray(w), float(bias)
+    margins = y * (X @ w + bias)
+    primal = 0.5 * w @ w + C * np.maximum(0.0, 1.0 - margins).sum()
+    G = (X @ X.T) * np.outer(y, y)
+    dual = a.sum() - 0.5 * a @ G @ a
+    # strong duality: the gap certifies both the formulation and recovery
+    assert abs(primal - dual) <= 1e-4 * max(1.0, abs(primal))
+    # mostly-separated data: soft margin may concede a few overlap points
+    assert np.mean(np.sign(X @ w + bias) == y) >= 0.95
+
+
+def test_portfolio_matches_slsqp():
+    from scipy.optimize import minimize
+
+    rng = np.random.default_rng(3)
+    N = 8
+    M = rng.standard_normal((N, N))
+    Sigma = M @ M.T / N + 0.05 * np.eye(N)
+    mu = rng.standard_normal(N) * 0.1
+    gamma = 2.0
+    res = _solve(apps.portfolio(mu, Sigma, gamma))
+    w = np.asarray(res.x)
+    assert abs(w.sum() - 1.0) <= 1e-7
+    assert np.all(w >= -1e-8)
+
+    def obj(v):
+        return gamma * v @ Sigma @ v - mu @ v
+
+    ref = minimize(obj, np.full(N, 1.0 / N), method="SLSQP",
+                   bounds=[(0, None)] * N,
+                   constraints={"type": "eq", "fun": lambda v: v.sum() - 1.0},
+                   options={"ftol": 1e-12, "maxiter": 500})
+    assert obj(w) <= ref.fun + 1e-7
+
+
+def test_mpc_condensed_unconstrained_matches_riccati():
+    rng = np.random.default_rng(4)
+    nx, nu, T = 3, 2, 8
+    Ad = np.eye(nx) + 0.1 * rng.standard_normal((nx, nx))
+    Bd = rng.standard_normal((nx, nu)) * 0.5
+    Qx = np.eye(nx)
+    Ru = 0.5 * np.eye(nu)
+    x0 = rng.standard_normal(nx)
+
+    res = _solve(apps.mpc_condensed(Ad, Bd, Qx, Ru, x0, T))
+    U = np.asarray(res.x).reshape(T, nu)
+
+    # finite-horizon Riccati oracle (terminal weight = Qx, matching QT=None)
+    P = Qx.copy()
+    Ks = []
+    for _ in range(T):
+        K = np.linalg.solve(Ru + Bd.T @ P @ Bd, Bd.T @ P @ Ad)
+        P = Qx + Ad.T @ P @ (Ad - Bd @ K)
+        Ks.append(K)
+    Ks = Ks[::-1]
+    x = x0.copy()
+    for k in range(T):
+        u_ref = -Ks[k] @ x
+        np.testing.assert_allclose(U[k], u_ref, atol=1e-6)
+        x = Ad @ x + Bd @ u_ref
+
+
+def test_mpc_condensed_respects_bounds():
+    rng = np.random.default_rng(5)
+    nx, nu, T = 3, 1, 10
+    Ad = np.array([[1.0, 0.1, 0.0], [0.0, 1.0, 0.1], [0.0, 0.0, 0.9]])
+    Bd = np.array([[0.0], [0.05], [1.0]])
+    x0 = np.array([1.5, 0.0, 0.0])
+    res = _solve(apps.mpc_condensed(
+        Ad, Bd, np.eye(nx), 0.1 * np.eye(nu), x0, T,
+        u_lo=np.array([-0.4]), u_hi=np.array([0.4]),
+        x_lo=np.full(nx, -2.0), x_hi=np.full(nx, 2.0)))
+    U = np.asarray(res.x).reshape(T, nu)
+    # feasibility up to eps_abs-level slack (primal residual tolerance)
+    assert np.all(np.abs(U) <= 0.4 + 2e-6)
+    x = x0.copy()
+    for k in range(T):
+        x = Ad @ x + Bd @ U[k]
+        assert np.all(np.abs(x) <= 2.0 + 2e-6)
+    # the bound must actually bind somewhere, or the test proves nothing
+    assert np.any(np.abs(U) >= 0.4 - 1e-7)
+
+
+def test_huber_matches_bfgs():
+    from scipy.optimize import minimize
+
+    rng = np.random.default_rng(6)
+    N, p = 50, 6
+    F = rng.standard_normal((N, p))
+    xtrue = rng.standard_normal(p)
+    b = F @ xtrue + 0.1 * rng.standard_normal(N)
+    b[::7] += 5.0  # outliers: where Huber differs from least squares
+    delta = 0.5
+
+    res = _solve(apps.huber_fit(F, b, delta))
+    x = np.asarray(res.x)[:p]
+
+    def huber_obj(v):
+        r = F @ v - b
+        quad = np.abs(r) <= delta
+        return (0.5 * np.sum(r[quad] ** 2)
+                + np.sum(delta * (np.abs(r[~quad]) - 0.5 * delta)))
+
+    ref = minimize(huber_obj, np.zeros(p), method="BFGS",
+                   options={"gtol": 1e-10})
+    np.testing.assert_allclose(huber_obj(x), ref.fun, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(x, ref.x, atol=1e-4)
+    # robustness sanity: Huber beats plain LS on the true coefficients
+    x_ls = np.linalg.lstsq(F, b, rcond=None)[0]
+    assert np.linalg.norm(x - xtrue) < np.linalg.norm(x_ls - xtrue)
+
+
+def test_lasso_vmaps():
+    """Constructors are pure jnp: a batch of instances via vmap solves
+    through the batched path."""
+    import jax
+    import jax.numpy as jnp
+    from qpdo_tpu.parallel.batch import solve_batch
+
+    rng = np.random.default_rng(7)
+    Fb = jnp.asarray(rng.standard_normal((4, 20, 8)))
+    bb = jnp.asarray(rng.standard_normal((4, 20)))
+    probs = jax.vmap(lambda F, b: apps.lasso(F, b, 0.5))(Fb, bb)
+    res = solve_batch(probs, S)
+    assert np.all(np.asarray(res.info.status_val) == qt.SOLVED)
+    for i in range(4):
+        x = np.asarray(res.x[i])[:8]
+        g = np.asarray(Fb[i]).T @ (np.asarray(Fb[i]) @ x - np.asarray(bb[i]))
+        active = np.abs(x) > 1e-6
+        assert np.all(np.abs(g[~active]) <= 0.5 + 1e-5)
+        assert np.all(np.abs(g[active] + 0.5 * np.sign(x[active])) <= 1e-5)

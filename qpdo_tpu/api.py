@@ -113,37 +113,56 @@ def solve_sparse(Q, q, A, l, u, c=0.0,
 
 def solve_sparse_batch(problems, settings: Optional[Settings] = None,
                        dtype=None, x0=None, y0=None) -> Result:
-    """Lock-step batched solve of sparse QPs sharing one sparsity pattern
-    (sparse MPC fleets / scenario sweeps).
+    """Lock-step batched solve of sparse QPs (sparse MPC fleets / scenario
+    sweeps) — the sparse analogue of ``parallel.solve_batch``.
 
-    ``problems`` is a sequence of ``(Q, q, A, l, u[, c])`` tuples whose Q
-    and A have *identical* nonzero patterns (values may differ).  The
-    float leaves of the per-instance operators are stacked and the whole
-    solver vmaps over them while the index arrays stay shared — the
-    sparse analogue of ``parallel.solve_batch``.  ``x0``/``y0`` (optional,
+    ``problems`` is a sequence of ``(Q, q, A, l, u[, c])`` tuples of equal
+    dimensions.  Instances sharing one nonzero pattern batch directly; when
+    patterns differ, every instance is re-expressed on the UNION pattern
+    with explicit zeros (``solver.sparse.union_triplets``) — results are
+    unchanged, cost scales with nnz(union).  The float leaves of the
+    per-instance operators are stacked and the whole solver vmaps over
+    them while the index arrays stay shared.  ``x0``/``y0`` (optional,
     (B, n)/(B, m)) warm-start every instance, qpdo.c:217-299 semantics.
     Returns a Result with a leading batch axis.
     """
     import numpy as np
 
-    from .solver.sparse import setup_sparse
+    from .solver.sparse import setup_sparse, union_triplets
 
     settings = settings or Settings()
     validate_settings(settings)
-    ops = []
-    for p in problems:
-        Q, q, A, l, u = p[:5]
-        c = p[5] if len(p) > 5 else 0.0
-        ops.append(setup_sparse(Q, q, A, l, u, c, settings.scaling, dtype,
-                                precond=settings.precond,
-                                precond_block=settings.precond_block,
-                                ruiz_kkt=settings.ruiz_kkt))
+
+    def build(ps):
+        ops = []
+        for p in ps:
+            Q, q, A, l, u = p[:5]
+            c = p[5] if len(p) > 5 else 0.0
+            ops.append(setup_sparse(Q, q, A, l, u, c, settings.scaling,
+                                    dtype,
+                                    precond=settings.precond,
+                                    precond_block=settings.precond_block,
+                                    ruiz_kkt=settings.ruiz_kkt))
+        return ops
+
+    ops = build(problems)
     base = ops[0]
-    for op in ops[1:]:
-        if (op.a_idx.shape != base.a_idx.shape
-                or op.q_idx.shape != base.q_idx.shape):
-            raise ValueError("solve_sparse_batch requires identical Q/A "
-                             "sparsity patterns across instances")
+    if any(op.a_idx.shape != base.a_idx.shape
+           or op.q_idx.shape != base.q_idx.shape
+           or not (np.array_equal(op.a_idx, base.a_idx)
+                   and np.array_equal(op.q_idx, base.q_idx))
+           for op in ops[1:]):
+        # mixed patterns: rebuild every instance on the union pattern
+        dt = base.dtype
+        q_datas, q_idx, q_shape = union_triplets(
+            [p[0] for p in problems], dt)
+        a_datas, a_idx, a_shape = union_triplets(
+            [p[2] for p in problems], dt)
+        ops = build([(
+            (q_datas[i], q_idx, q_shape), problems[i][1],
+            (a_datas[i], a_idx, a_shape), problems[i][3], problems[i][4],
+            *problems[i][5:6]) for i in range(len(problems))])
+        base = ops[0]
 
     def is_float(x):
         return np.issubdtype(np.asarray(x).dtype, np.floating)

@@ -55,6 +55,40 @@ def _as_triplets(M, dtype):
             jnp.asarray(np.stack([r, c], axis=1), jnp.int32), Md.shape)
 
 
+def union_triplets(mats, dtype):
+    """Re-express a sequence of same-shape sparse matrices on the UNION of
+    their sparsity patterns: returns ``(datas, indices, shape)`` where
+    ``indices`` (nnz_union, 2) is shared, row-sorted, and each instance's
+    ``datas[b]`` carries explicit zeros on the entries it lacks.
+
+    This is what makes mixed-pattern fleets vmappable (solve_sparse_batch):
+    all index/scatter structures are built once on the union pattern while
+    values stack along the batch axis.  Every sparse kernel here (matvecs,
+    Ruiz scatter-norms, preconditioner extraction) treats an explicit zero
+    exactly like an absent entry, so per-instance results are unchanged.
+    Cost scales with nnz(union); for structurally similar instances that
+    is ~nnz, for disjoint patterns it degrades toward sum(nnz).
+    """
+    trips = [_as_triplets(M, dtype) for M in mats]
+    shape = trips[0][2]
+    for _, _, s in trips[1:]:
+        if tuple(s) != tuple(shape):
+            raise ValueError(f"shape mismatch across instances: {s} vs "
+                             f"{shape}")
+    ncol = shape[1]
+    keys = [np.asarray(idx[:, 0], np.int64) * ncol
+            + np.asarray(idx[:, 1], np.int64) for _, idx, _ in trips]
+    union = np.unique(np.concatenate(keys))  # sorted = row-major order
+    indices = jnp.asarray(
+        np.stack([union // ncol, union % ncol], axis=1), jnp.int32)
+    datas = []
+    for (data, _, _), k in zip(trips, keys):
+        full = np.zeros((union.shape[0],), np.asarray(data).dtype)
+        full[np.searchsorted(union, k)] = np.asarray(data)
+        datas.append(jnp.asarray(full, dtype))
+    return datas, indices, shape
+
+
 def _block_jacobi_indices(a_indices, q_indices, n, block: int,
                           pair_cap_factor: float = 40.0):
     """Precompute the scatter maps of the block-Jacobi preconditioner

@@ -459,3 +459,47 @@ def test_sparse_batch_warm_start():
     assert np.all(np.asarray(warm.info.status_val) == qt.SOLVED)
     assert (np.asarray(warm.info.iterations).mean()
             < np.asarray(cold.info.iterations).mean())
+
+
+def test_sparse_batch_mixed_patterns():
+    """Mixed sparsity patterns batch via the union-pattern rebuild
+    (solver.sparse.union_triplets): per-instance results match individual
+    solves bitwise-closely and union zeros do not perturb anything."""
+    rng = np.random.default_rng(33)
+    n, m, B = 40, 30, 3
+    probs = []
+    for b in range(B):
+        Bm = sps.random(n, n, density=0.08 + 0.04 * b,
+                        random_state=100 + b, format="csr")
+        Qb = (Bm.T @ Bm + 0.2 * sps.eye(n)).tocsr()
+        Ab = sps.random(m, n, density=0.15 + 0.05 * b,
+                        random_state=200 + b, format="csr")
+        Ab.data[:] = rng.standard_normal(Ab.nnz)
+        probs.append((Qb, rng.standard_normal(n), Ab,
+                      -np.ones(m), np.ones(m)))
+    # sanity: the patterns genuinely differ
+    assert len({p[0].nnz for p in probs}) > 1
+
+    res = qt.solve_sparse_batch(probs)
+    assert res.x.shape == (B, n)
+    for b in range(B):
+        assert int(res.info.status_val[b]) == qt.SOLVED
+        single = qt.solve_sparse(*probs[b])
+        np.testing.assert_allclose(np.asarray(res.x[b]),
+                                   np.asarray(single.x), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(res.y[b]),
+                                   np.asarray(single.y), atol=1e-7)
+
+
+def test_union_triplets_roundtrip():
+    from qpdo_tpu.solver.sparse import union_triplets
+
+    M1 = sps.csr_matrix(np.array([[1.0, 0.0], [0.0, 2.0]]))
+    M2 = sps.csr_matrix(np.array([[0.0, 3.0], [0.0, 4.0]]))
+    datas, idx, shape = union_triplets([M1, M2], jnp.float64)
+    assert tuple(shape) == (2, 2)
+    idx = np.asarray(idx)
+    # union = {(0,0),(0,1),(1,1)} in row-major order
+    np.testing.assert_array_equal(idx, [[0, 0], [0, 1], [1, 1]])
+    np.testing.assert_allclose(np.asarray(datas[0]), [1.0, 0.0, 2.0])
+    np.testing.assert_allclose(np.asarray(datas[1]), [0.0, 3.0, 4.0])

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import OrderedDict
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Optional, Sequence, Tuple
@@ -49,6 +50,7 @@ class _Request:
     shape: Tuple[int, int]
     settings: Optional[Settings] = None
     t_submit: float = 0.0
+    session: Optional[str] = None
 
 
 @dataclass(order=True)
@@ -66,8 +68,14 @@ class SolverService:
     def __init__(self, settings: Optional[Settings] = None,
                  max_batch: int = 64, max_wait_ms: float = 5.0,
                  n_mult: int = 32, m_mult: int = 32,
-                 max_pending: int = 1024):
+                 max_pending: int = 1024, max_sessions: int = 1024):
         self._settings = settings or Settings()
+        # per-session warm-start cache (LRU-bounded): the serving analogue
+        # of the reference's long-lived MEX workspace whose iterate
+        # survives across solves (qpdo_mex.c:22 + qpdo_warm_start,
+        # qpdo.c:217-299), keyed per client session for MPC-style streams
+        self._sessions: "OrderedDict[str, tuple]" = OrderedDict()
+        self._max_sessions = max_sessions
         self._max_batch = max_batch
         self._max_wait = max_wait_ms / 1000.0
         self._n_mult = n_mult
@@ -82,7 +90,8 @@ class SolverService:
         self._stop = threading.Event()
         self._stats = {"submitted": 0, "completed": 0, "failed": 0,
                        "batches": 0, "batched_requests": 0,
-                       "latency_sum_s": 0.0, "by_status": {}}
+                       "latency_sum_s": 0.0, "by_status": {},
+                       "session_warm_hits": 0}
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -90,7 +99,7 @@ class SolverService:
 
     def submit(self, problem: Problem, x0=None, y0=None, *,
                settings: Optional[Settings] = None, priority: int = 0,
-               block: bool = True,
+               session: Optional[str] = None, block: bool = True,
                timeout: Optional[float] = None) -> Future:
         """Enqueue a QP; returns a Future[Result].
 
@@ -99,12 +108,29 @@ class SolverService:
         Higher ``priority`` requests are dequeued first (FIFO within a
         level).  With ``block=False`` (or on ``timeout``), a full queue
         raises ``queue.Full`` instead of waiting — callers can shed
-        load."""
+        load.
+
+        ``session`` names a warm-start stream: when no explicit ``x0/y0``
+        is given, the request warm-starts from the session's last SOLVED
+        solution of matching dimensions (an MPC client re-solving a
+        drifting problem typically converges in ~0 iterations, see
+        examples/batched_mpc.py), and its own solution updates the cache
+        on completion.  Sequential use (wait for each result before the
+        next submit) gets the hits; concurrent same-session submits are
+        safe but may cold-start."""
         import time
+        if session is not None and x0 is None and y0 is None:
+            with self._lock:
+                cached = self._sessions.get(session)
+                if cached is not None and cached[0].shape[0] == problem.n \
+                        and cached[1].shape[0] == problem.m:
+                    x0, y0 = cached
+                    self._sessions.move_to_end(session)
+                    self._stats["session_warm_hits"] += 1
         fut: Future = Future()
         req = _Request(problem=problem, x0=x0, y0=y0, future=fut,
                        shape=(problem.n, problem.m), settings=settings,
-                       t_submit=time.perf_counter())
+                       t_submit=time.perf_counter(), session=session)
         # The lock makes submit/shutdown atomic: once shutdown() has set
         # the stop event (under this lock), no request can be enqueued
         # afterwards, so the worker's final drain serves every admitted
@@ -240,4 +266,11 @@ class SolverService:
                     self._stats["latency_sum_s"] += now - req.t_submit
                     by = self._stats["by_status"]
                     by[status] = by.get(status, 0) + 1
+                    if req.session is not None and status == "solved":
+                        import numpy as np
+                        self._sessions[req.session] = (np.asarray(out.x),
+                                                       np.asarray(out.y))
+                        self._sessions.move_to_end(req.session)
+                        while len(self._sessions) > self._max_sessions:
+                            self._sessions.popitem(last=False)
                 req.future.set_result(out)

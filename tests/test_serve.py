@@ -169,3 +169,54 @@ def test_shutdown_serves_admitted_requests():
     for f in futs:
         res = f.result(timeout=300)
         assert int(res.info.status_val) == qt.SOLVED
+
+
+def test_session_warm_start_cache():
+    """A named session warm-starts from its last solved solution: the
+    MPC-style re-solve takes (far) fewer iterations than the cold solve
+    and still satisfies the KKT oracle."""
+    svc = SolverService(max_batch=4, max_wait_ms=5)
+    try:
+        Q, q, A, l, u = random_qp(30, 20, seed=9)
+        p1 = qt.make_problem(Q, q, A, l, u)
+        r1 = svc.submit(p1, session="mpc-client-7").result(120)
+        assert int(r1.info.status_val) == qt.SOLVED
+        it_cold = int(r1.info.iterations)
+
+        # drift the problem slightly (the reference's MPC workflow,
+        # demo_mex.m:45-56) and re-solve in the same session
+        p2 = qt.make_problem(Q, q + 1e-3, A, l, u)
+        r2 = svc.submit(p2, session="mpc-client-7").result(120)
+        assert int(r2.info.status_val) == qt.SOLVED
+        it_warm = int(r2.info.iterations)
+        assert it_warm < it_cold
+        rp, rd = kkt_residuals(Q, q + 1e-3, A, l, u,
+                               np.asarray(r2.x), np.asarray(r2.y))
+        assert rp <= 1e-6 and rd <= 1e-6
+        assert svc.stats()["session_warm_hits"] == 1
+
+        # a different session stays cold; a dimension change misses
+        r3 = svc.submit(p2, session="other").result(120)
+        assert int(r3.info.iterations) == it_cold
+        Qs, qs, As, ls, us = random_qp(12, 8, seed=10)
+        r4 = svc.submit(qt.make_problem(Qs, qs, As, ls, us),
+                        session="mpc-client-7").result(120)
+        assert int(r4.info.status_val) == qt.SOLVED
+        assert svc.stats()["session_warm_hits"] == 1
+    finally:
+        svc.shutdown()
+
+
+def test_session_lru_eviction():
+    svc = SolverService(max_batch=2, max_wait_ms=2, max_sessions=2)
+    try:
+        Q, q, A, l, u = random_qp(16, 10, seed=11)
+        p = qt.make_problem(Q, q, A, l, u)
+        for name in ("a", "b", "c"):  # "a" evicted at the third insert
+            svc.submit(p, session=name).result(120)
+        assert svc.submit(p, session="a").result(120) is not None
+        assert svc.stats()["session_warm_hits"] == 0  # "a" was evicted
+        svc.submit(p, session="c").result(120)        # "c" survived
+        assert svc.stats()["session_warm_hits"] == 1
+    finally:
+        svc.shutdown()

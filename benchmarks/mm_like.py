@@ -129,6 +129,66 @@ def gen_qband(rng, n, bw=5):
     return Q, q, I, l, u
 
 
+def gen_cont(rng, k, alpha=1e-2, ubox=1.0):
+    """CONT-style PDE-constrained control on a k*k grid (the CONT-050/100
+    family shape): minimize 0.5||y - yd||^2 + alpha/2 ||u||^2 subject to
+    the discrete Poisson equality L y - h^2 u = b at every grid point
+    (Dirichlet zero boundary folded into b) plus boxes on u and y.
+
+    Variables interleave (y_p, u_p) per grid point so the KKT bandwidth is
+    ~2k and the banded direct Newton backend applies.  The y-box is
+    anchored at a feasibility witness (u* in the control box, y* = the
+    PDE solve at u*), so the instance is feasible by construction while
+    the bounds still bind near the optimum.
+    """
+    import scipy.sparse.linalg as spla
+
+    n_grid = k * k
+    h2 = 1.0 / (k + 1) ** 2
+    t = (np.arange(k) + 1) / (k + 1)
+    yd = (np.sin(np.pi * t)[:, None] * np.sin(np.pi * t)[None, :]).ravel()
+
+    # 5-point Laplacian L on the full grid (zero Dirichlet outside)
+    p = np.arange(n_grid)
+    i, j = p // k, p % k
+    rows, cols, vals = [p], [p], [np.full(n_grid, 4.0)]
+    for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        ii, jj = i + di, j + dj
+        keep = (ii >= 0) & (ii < k) & (jj >= 0) & (jj < k)
+        rows.append(p[keep])
+        cols.append(ii[keep] * k + jj[keep])
+        vals.append(np.full(keep.sum(), -1.0))
+    L = sps.csr_matrix((np.concatenate(vals),
+                        (np.concatenate(rows), np.concatenate(cols))),
+                       shape=(n_grid, n_grid))
+
+    b = 0.1 * rng.standard_normal(n_grid)
+    u_star = rng.uniform(-0.5 * ubox, 0.5 * ubox, n_grid)
+    y_star = spla.spsolve(L.tocsc(), h2 * u_star + b)
+    margin = 0.05 * (np.abs(y_star).max() + 1.0)
+    y_lo, y_hi = y_star - margin, y_star + margin
+
+    # interleaved order z = (y_0, u_0, y_1, u_1, ...)
+    n = 2 * n_grid
+    Q = sps.diags(np.where(np.arange(n) % 2 == 0, 1.0, alpha)).tocsr()
+    q = np.zeros(n)
+    q[0::2] = -yd
+    Lc = L.tocoo()
+    A_eq = sps.csr_matrix(
+        (np.concatenate([Lc.data, np.full(n_grid, -h2)]),
+         (np.concatenate([Lc.row, p]),
+          np.concatenate([2 * Lc.col, 2 * p + 1]))), shape=(n_grid, n))
+    I = sps.eye(n, format="csr")
+    A = sps.vstack([A_eq, I]).tocsr()
+    lo = np.empty(n)
+    hi = np.empty(n)
+    lo[0::2], hi[0::2] = y_lo, y_hi
+    lo[1::2], hi[1::2] = -ubox, ubox
+    l = np.concatenate([b, lo])
+    u = np.concatenate([b, hi])
+    return Q, q, A, l, u
+
+
 def gen_dual(rng, n):
     """DUALC-style: small dense ill-conditioned Q, simplex + bounds."""
     U = np.linalg.qr(rng.standard_normal((n, n)))[0]
@@ -240,6 +300,10 @@ def build_suite(rng, max_n):
         if n > max_n:
             continue
         add("QBAND", gen_qband, n)
+    for k in (10, 22, 32, 50):
+        if 2 * k * k > max_n:
+            continue
+        add("CONT", gen_cont, k)
     for n in (10, 30, 85, 200):
         add("DUALC", gen_dual, n)
     for n in (3, 5, 10, 20):

@@ -15,7 +15,7 @@ from .constants import (
 )
 from .types import Problem, Settings, Info, Result, ScaledProblem, SolverState
 from .api import solve, solve_sparse, solve_sparse_batch, make_problem, QPDO
-from .continuation import solve_continuation, grid1d_prolong
+from .continuation import solve_continuation, grid1d_prolong, grid2d_interp
 from .diff import qp_solve, sparse_qp_layer
 from .solver.scaling import scale_problem
 from .solver.core import solve_scaled
@@ -25,6 +25,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Problem", "Settings", "Info", "Result", "ScaledProblem", "SolverState",
     "solve", "solve_sparse", "solve_sparse_batch", "make_problem", "QPDO", "scale_problem", "solve_scaled", "qp_solve", "sparse_qp_layer",
+    "solve_continuation", "grid1d_prolong", "grid2d_interp",
     "SOLVED", "NON_CVX", "PRIMAL_INFEASIBLE", "DUAL_INFEASIBLE",
     "MAX_ITER_REACHED", "MAX_TIME_REACHED", "UNSOLVED", "QPDO_INFTY",
     "applications", "constants",

@@ -61,6 +61,39 @@ def grid1d_prolong(n_coarse: int, n_fine: int, order: int = 2):
     return prolong
 
 
+def grid2d_interp(k_coarse: int, k_fine: int, v, boundary=None):
+    """Bilinear interpolation of a flattened (row-major) k_c x k_c
+    interior-point grid field onto k_f x k_f, with the grids
+    t_i = (i+1)/(k+1) of a Dirichlet discretization.
+
+    The fine grid extends past the coarse hull (its first/last interior
+    nodes sit closer to the boundary); ``boundary`` controls that strip:
+    ``None`` replicates the edge value (right for multiplier/control
+    fields), a scalar pads the grid with the known boundary value first
+    (0.0 for a Dirichlet state field).
+
+    The 2-D building block for PDE-constrained ladders (CONT-class
+    problems, benchmarks/mm_like.gen_cont): a prolong callback interpolates
+    each state/control/multiplier field separately, applies the field's
+    resolution scaling, and reassembles the level's variable layout.
+    Primal fields and box-row duals are resolution-invariant (scale 1);
+    multipliers of an undivided second-order stencil row (the 4/-1
+    Laplacian) scale like ((k_f+1)/(k_c+1))**2 — for smooth lam the
+    stencil cancels to h^2*laplace(lam), so matching an O(1) objective
+    gradient forces lam ~ h^-2 (the 2-D analogue of grid1d_prolong's
+    h^-order scaling).
+    """
+    tc = (np.arange(k_coarse) + 1.0) / (k_coarse + 1.0)
+    tf = (np.arange(k_fine) + 1.0) / (k_fine + 1.0)
+    V = np.asarray(v, float).reshape(k_coarse, k_coarse)
+    if boundary is not None:
+        tc = np.concatenate([[0.0], tc, [1.0]])
+        V = np.pad(V, 1, constant_values=float(boundary))
+    Vr = np.stack([np.interp(tf, tc, row) for row in V])          # rows
+    return np.stack([np.interp(tf, tc, Vr[:, j])
+                     for j in range(k_fine)], axis=1).ravel()     # cols
+
+
 def solve_continuation(problems: Sequence,
                        settings: Optional[Settings] = None,
                        prolong: Optional[Callable] = None,

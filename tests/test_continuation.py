@@ -97,3 +97,108 @@ def test_identity_continuation_dense_homotopy():
 def test_empty_ladder_raises():
     with pytest.raises(ValueError):
         qt.solve_continuation([], qt.Settings())
+
+
+def cont2d(k, alpha=1e-2, ubox=0.05):
+    """Deterministic CONT-style instance of one continuous problem at
+    resolution k: min 0.5||y-yd||^2 + alpha/2||u||^2 s.t. the unscaled
+    5-point Poisson rows L y - h^2 u = h^2 f and a box on u (y free, so
+    every resolution is trivially feasible)."""
+    n_grid = k * k
+    h2 = 1.0 / (k + 1) ** 2
+    t = (np.arange(k) + 1.0) / (k + 1.0)
+    X, Y = np.meshgrid(t, t, indexing="ij")
+    yd = (np.sin(np.pi * X) * np.sin(np.pi * Y)).ravel()
+    f = 5.0 * (np.sin(2 * np.pi * X) * np.cos(np.pi * Y)).ravel()
+
+    p = np.arange(n_grid)
+    i, j = p // k, p % k
+    rows, cols, vals = [p], [p], [np.full(n_grid, 4.0)]
+    for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        ii, jj = i + di, j + dj
+        keep = (ii >= 0) & (ii < k) & (jj >= 0) & (jj < k)
+        rows.append(p[keep]); cols.append(ii[keep] * k + jj[keep])
+        vals.append(np.full(keep.sum(), -1.0))
+    L = sps.csr_matrix((np.concatenate(vals),
+                        (np.concatenate(rows), np.concatenate(cols))),
+                       shape=(n_grid, n_grid))
+
+    n = 2 * n_grid
+    Q = sps.diags(np.where(np.arange(n) % 2 == 0, 1.0, alpha)).tocsr()
+    q = np.zeros(n); q[0::2] = -yd
+    Lc = L.tocoo()
+    A_eq = sps.csr_matrix(
+        (np.concatenate([Lc.data, np.full(n_grid, -h2)]),
+         (np.concatenate([Lc.row, p]),
+          np.concatenate([2 * Lc.col, 2 * p + 1]))), shape=(n_grid, n))
+    I_u = sps.csr_matrix((np.ones(n_grid), (p, 2 * p + 1)),
+                         shape=(n_grid, n))
+    A = sps.vstack([A_eq, I_u]).tocsr()
+    l = np.concatenate([h2 * f, np.full(n_grid, -ubox)])
+    u = np.concatenate([h2 * f, np.full(n_grid, ubox)])
+    return Q, q, A, l, u
+
+
+def test_grid2d_interp_exact_on_bilinear():
+    """Injection at coincident nodes (kf+1 = 2(kc+1)) and bilinear
+    exactness inside the coarse hull; the Dirichlet pad reproduces a
+    boundary-vanishing bilinear field everywhere."""
+    kc = 6
+    kf = 2 * kc + 1
+    tc = (np.arange(kc) + 1.0) / (kc + 1.0)
+    tf = (np.arange(kf) + 1.0) / (kf + 1.0)
+    Xc, Yc = np.meshgrid(tc, tc, indexing="ij")
+    Xf, Yf = np.meshgrid(tf, tf, indexing="ij")
+
+    g = lambda X, Y: 2.0 + 3.0 * X - Y + 0.5 * X * Y
+    out = qt.grid2d_interp(kc, kf, g(Xc, Yc).ravel()).reshape(kf, kf)
+    # fine node 2c+1 coincides with coarse node c: injection is exact
+    np.testing.assert_allclose(out[1::2, 1::2], g(Xc, Yc), atol=1e-12)
+    # interior hull (between coarse nodes): bilinear fields reproduce
+    np.testing.assert_allclose(out[1:-1, 1:-1], g(Xf, Yf)[1:-1, 1:-1],
+                               atol=1e-12)
+
+    # Dirichlet pad: exact everywhere for a field linear between the
+    # padded nodes and zero on the boundary
+    tcp = np.concatenate([[0.0], tc, [1.0]])
+    hat = lambda t: np.interp(t, tcp, np.r_[0.0, np.ones(kc), 0.0])
+    gd = lambda X, Y: hat(X) * hat(Y)  # vanishes on the whole boundary
+    outd = qt.grid2d_interp(kc, kf, gd(Xc, Yc).ravel(), boundary=0.0)
+    np.testing.assert_allclose(outd, gd(Xf, Yf).ravel(), atol=1e-12)
+
+
+def test_grid2d_cont_ladder_saves_iterations():
+    """A 2-level CONT ladder (coarse solve + prolonged warm start) reaches
+    the same verified solution in fewer fine-level iterations than cold."""
+    kc, kf = 8, 16
+    coarse = cont2d(kc)
+    fine = cont2d(kf)
+    s = qt.Settings(eps_abs=1e-6, max_iter=20000, inner_max_iter=100,
+                    eps_abs_in=0.1, rho=0.02, delta=0.1)
+
+    cold = qt.solve_sparse(*fine, settings=s)
+    assert int(cold.info.status_val) == qt.SOLVED
+
+    def prolong(x, y):
+        ncg, nfg = kc * kc, kf * kf
+        x0 = np.empty(2 * nfg)
+        x0[0::2] = qt.grid2d_interp(kc, kf, x[0::2], boundary=0.0)
+        x0[1::2] = qt.grid2d_interp(kc, kf, x[1::2])
+        scale = ((kf + 1.0) / (kc + 1.0)) ** 2  # smooth lam ~ h^-2
+        y0 = np.concatenate([
+            qt.grid2d_interp(kc, kf, y[:ncg]) * scale,
+            qt.grid2d_interp(kc, kf, y[ncg:]),
+        ])
+        return x0, y0
+
+    results = qt.solve_continuation([coarse, fine], settings=s,
+                                    prolong=prolong, return_all=True)
+    res = results[-1]
+    assert int(res.info.status_val) == qt.SOLVED
+    Q, q, A, l, u = fine
+    x, y = np.asarray(res.x), np.asarray(res.y)
+    rp = np.max(np.abs(A @ x - np.clip(A @ x + y, l, u)))
+    rd = np.max(np.abs(Q @ x + q + A.T @ y))
+    assert rp <= 1e-5 and rd <= 1e-5
+    fine_iters = int(results[-1].info.iterations)
+    assert fine_iters < int(cold.info.iterations)

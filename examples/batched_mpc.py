@@ -8,6 +8,11 @@ warm-started after the problem drifts — the pattern behind the
 Run:  python examples/batched_mpc.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

@@ -8,6 +8,11 @@ perturbed solution.
 Run:  python examples/demo.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import qpdo_tpu as qt

@@ -22,6 +22,11 @@ see tests/test_diff.py).
 Run:  python examples/diff_layer.py   (CPU, float64)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -7,6 +7,11 @@ codes, plus numerical validation of the Farkas-type certificates.
 Run:  python examples/infeasibility.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import qpdo_tpu as qt

@@ -112,7 +112,8 @@ def solve_sparse(Q, q, A, l, u, c=0.0,
 
 
 def solve_sparse_batch(problems, settings: Optional[Settings] = None,
-                       dtype=None, x0=None, y0=None) -> Result:
+                       dtype=None, x0=None, y0=None, mesh=None,
+                       axis: str = "batch") -> Result:
     """Lock-step batched solve of sparse QPs (sparse MPC fleets / scenario
     sweeps) — the sparse analogue of ``parallel.solve_batch``.
 
@@ -125,6 +126,12 @@ def solve_sparse_batch(problems, settings: Optional[Settings] = None,
     them while the index arrays stay shared.  ``x0``/``y0`` (optional,
     (B, n)/(B, m)) warm-start every instance, qpdo.c:217-299 semantics.
     Returns a Result with a leading batch axis.
+
+    ``mesh``: a ``jax.sharding.Mesh`` to shard the batch axis over (the
+    sparse analogue of ``parallel.solve_batch_sharded``): stacked float
+    leaves are placed with the batch dimension split along ``axis``,
+    index arrays replicated, and GSPMD partitions the lock-step solver —
+    data-parallel sparse fleets across chips.
     """
     import numpy as np
 
@@ -174,6 +181,26 @@ def solve_sparse_batch(problems, settings: Optional[Settings] = None,
     warm_x, warm_y = x0 is not None, y0 is not None
     x0 = None if x0 is None else jnp.asarray(x0, base.dtype)
     y0 = None if y0 is None else jnp.asarray(y0, base.dtype)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put_batched(x):
+            spec = P(axis, *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        def put(x):
+            # float leaves were batch-stacked (leading B axis) and shard
+            # along it; shared index leaves replicate
+            if is_float(x):
+                return put_batched(jnp.asarray(x))
+            return jax.device_put(
+                jnp.asarray(x), NamedSharding(mesh, P()))
+
+        stacked = jax.tree.map(put, stacked)
+        x0 = put_batched(x0) if warm_x else None
+        y0 = put_batched(y0) if warm_y else None
+
     fn = jax.vmap(
         lambda op, xw, yw: solve_scaled(op, settings, xw, yw,
                                         warm_x, warm_y),

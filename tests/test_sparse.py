@@ -503,3 +503,31 @@ def test_union_triplets_roundtrip():
     np.testing.assert_array_equal(idx, [[0, 0], [0, 1], [1, 1]])
     np.testing.assert_allclose(np.asarray(datas[0]), [1.0, 0.0, 2.0])
     np.testing.assert_allclose(np.asarray(datas[1]), [0.0, 3.0, 4.0])
+
+
+def test_sparse_batch_sharded_mesh():
+    """mesh= shards the sparse fleet's batch axis over devices; results
+    match the unsharded batch."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(44)
+    n, m, B = 30, 24, 8
+    pat = sps.random(n, n, density=0.15, random_state=44, format="csr")
+    Qp = (pat.T @ pat + 0.3 * sps.eye(n)).tocsr()
+    Ap = sps.random(m, n, density=0.25, random_state=45, format="csr")
+    Ap.data[:] = rng.standard_normal(Ap.nnz)
+    probs = []
+    for b in range(B):
+        Qb = Qp.copy()
+        Qb.data = Qb.data * (1.0 + 0.02 * b)
+        probs.append((Qb, rng.standard_normal(n), Ap,
+                      -np.ones(m), np.ones(m)))
+
+    plain = qt.solve_sparse_batch(probs)
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("batch",))
+    sharded = qt.solve_sparse_batch(probs, mesh=mesh)
+    assert np.all(np.asarray(sharded.info.status_val) == qt.SOLVED)
+    np.testing.assert_allclose(np.asarray(sharded.x), np.asarray(plain.x),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sharded.y), np.asarray(plain.y),
+                               atol=1e-9)

@@ -21,8 +21,8 @@ from .api import make_problem
 from .types import Problem
 
 __all__ = [
-    "lasso", "svm_dual", "svm_primal_from_dual", "portfolio",
-    "mpc_condensed", "nonneg_ls", "huber_fit",
+    "lasso", "lasso_sparse", "svm_dual", "svm_primal_from_dual",
+    "portfolio", "mpc_condensed", "nonneg_ls", "huber_fit", "huber_sparse",
 ]
 
 _INF = jnp.inf
@@ -53,6 +53,64 @@ def lasso(F, b, lam) -> Problem:
     l = jnp.full((2 * p,), -_INF, dt)
     u = jnp.zeros((2 * p,), dt)
     return make_problem(Q, q, A, l, u, c=0.5 * b @ b)
+
+
+def lasso_sparse(F, b, lam):
+    """Large-scale Lasso for the sparse path: returns a scipy-sparse
+    ``(Q, q, A, l, u, c)`` tuple for :func:`qpdo_tpu.solve_sparse` /
+    ``solve_sparse_batch``.
+
+    The residual is lifted so Q stays diagonal and every matrix inherits
+    F's sparsity (no dense F'F Gram): variables z = (x, t, r) with
+
+        min 0.5 r'r - b'r + lam*1't + 0.5 b'b
+        s.t. F x - r = 0,   x - t <= 0,   -x - t <= 0
+
+    x sits in z[:p]; at the optimum r = F x and t = |x|.
+    """
+    import numpy as np
+    import scipy.sparse as sps
+
+    F = sps.csr_matrix(F)
+    b = np.asarray(b, float)
+    N, p = F.shape
+    n = 2 * p + N
+    Q = sps.diags(np.concatenate([np.zeros(2 * p), np.ones(N)])).tocsr()
+    q = np.concatenate([np.zeros(p), np.full(p, float(lam)), -b])
+    eye_p = sps.eye(p, format="csr")
+    Z_pN = sps.csr_matrix((p, N))
+    A = sps.vstack([
+        sps.hstack([F, sps.csr_matrix((N, p)), -sps.eye(N, format="csr")]),
+        sps.hstack([eye_p, -eye_p, Z_pN]),
+        sps.hstack([-eye_p, -eye_p, Z_pN]),
+    ]).tocsr()
+    l = np.concatenate([np.zeros(N), np.full(2 * p, -np.inf)])
+    u = np.concatenate([np.zeros(N), np.zeros(2 * p)])
+    return Q, q, A, l, u, 0.5 * float(b @ b)
+
+
+def huber_sparse(F, b, delta):
+    """Large-scale Huber regression for the sparse path: the same split as
+    :func:`huber_fit` with scipy-sparse matrices (diagonal Q, A inheriting
+    F's sparsity).  Returns ``(Q, q, A, l, u)``; x sits in z[:p]."""
+    import numpy as np
+    import scipy.sparse as sps
+
+    F = sps.csr_matrix(F)
+    b = np.asarray(b, float)
+    N, p = F.shape
+    nz = p + 3 * N
+    Q = sps.diags(np.concatenate([np.zeros(p), np.ones(N),
+                                  np.zeros(2 * N)])).tocsr()
+    q = np.concatenate([np.zeros(p + N), np.full(2 * N, float(delta))])
+    eyeN = sps.eye(N, format="csr")
+    A_eq = sps.hstack([F, -eyeN, -eyeN, eyeN])
+    A_s = sps.hstack([sps.csr_matrix((2 * N, p + N)),
+                      sps.eye(2 * N, format="csr")])
+    A = sps.vstack([A_eq, A_s]).tocsr()
+    l = np.concatenate([b, np.zeros(2 * N)])
+    u = np.concatenate([b, np.full(2 * N, np.inf)])
+    return Q, q, A, l, u
 
 
 def svm_dual(X, labels, C) -> Problem:

@@ -191,3 +191,71 @@ def test_lasso_vmaps():
         active = np.abs(x) > 1e-6
         assert np.all(np.abs(g[~active]) <= 0.5 + 1e-5)
         assert np.all(np.abs(g[active] + 0.5 * np.sign(x[active])) <= 1e-5)
+
+
+def test_lasso_sparse_matches_dense():
+    """The lifted sparse Lasso (diagonal Q, no Gram) reproduces the dense
+    epigraph formulation's solution through the large-n path."""
+    import scipy.sparse as sps
+
+    rng = np.random.default_rng(8)
+    F = sps.random(50, 20, density=0.3, random_state=8, format="csr")
+    F.data[:] = rng.standard_normal(F.nnz)
+    b = rng.standard_normal(50)
+    lam = 1.0
+
+    dense = _solve(apps.lasso(np.asarray(F.todense()), b, lam))
+    Q, q, A, l, u, c = apps.lasso_sparse(F, b, lam)
+    res = qt.solve_sparse(Q, q, A, l, u, c, settings=S)
+    assert int(res.info.status_val) == qt.SOLVED
+    np.testing.assert_allclose(np.asarray(res.x)[:20],
+                               np.asarray(dense.x)[:20], atol=1e-5)
+    # lifted consistency: r = F x at the optimum
+    x_full = np.asarray(res.x)
+    np.testing.assert_allclose(x_full[40:], F @ x_full[:20], atol=1e-6)
+
+
+def test_huber_sparse_matches_dense():
+    rng = np.random.default_rng(9)
+    import scipy.sparse as sps
+
+    F = sps.random(40, 10, density=0.4, random_state=9, format="csr")
+    F.data[:] = rng.standard_normal(F.nnz)
+    b = rng.standard_normal(40)
+    b[::6] += 3.0
+    delta = 0.4
+
+    dense = _solve(apps.huber_fit(np.asarray(F.todense()), b, delta))
+    res = qt.solve_sparse(*apps.huber_sparse(F, b, delta), settings=S)
+    assert int(res.info.status_val) == qt.SOLVED
+    np.testing.assert_allclose(np.asarray(res.x)[:10],
+                               np.asarray(dense.x)[:10], atol=1e-5)
+
+
+def test_lasso_sparse_large():
+    """An ML-scale sparse Lasso (p=1500, N=3000) solves through the
+    matrix-free CG path without densifying, verified by the subgradient
+    oracle."""
+    import scipy.sparse as sps
+
+    rng = np.random.default_rng(10)
+    N, p = 3000, 1500
+    F = sps.random(N, p, density=0.002, random_state=10, format="csr")
+    F.data[:] = rng.standard_normal(F.nnz)
+    x_true = np.zeros(p)
+    sup = rng.choice(p, 20, replace=False)
+    x_true[sup] = rng.standard_normal(20) * 2.0
+    b = F @ x_true + 0.01 * rng.standard_normal(N)
+    lam = 0.05
+
+    Q, q, A, l, u, c = apps.lasso_sparse(F, b, lam)
+    res = qt.solve_sparse(Q, q, A, l, u, c, settings=qt.Settings(
+        eps_abs=1e-6, max_iter=20000, inner_max_iter=100, eps_abs_in=0.1,
+        rho=0.02, delta=0.1))
+    assert int(res.info.status_val) == qt.SOLVED
+    x = np.asarray(res.x)[:p]
+    g = F.T @ (F @ x - b)
+    active = np.abs(x) > 1e-6
+    tol = 1e-4
+    assert np.all(np.abs(g[~active]) <= lam + tol)
+    assert np.all(np.abs(g[active] + lam * np.sign(x[active])) <= tol)

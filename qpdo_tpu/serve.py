@@ -68,8 +68,15 @@ class SolverService:
     def __init__(self, settings: Optional[Settings] = None,
                  max_batch: int = 64, max_wait_ms: float = 5.0,
                  n_mult: int = 32, m_mult: int = 32,
-                 max_pending: int = 1024, max_sessions: int = 1024):
+                 max_pending: int = 1024, max_sessions: int = 1024,
+                 mesh=None, mesh_axis: str = "batch"):
         self._settings = settings or Settings()
+        # optional jax.sharding.Mesh: micro-batches whose size is a
+        # multiple of the mesh size are padded to it and sharded over the
+        # devices (parallel.solve_batch_sharded) — one service in front of
+        # a multi-chip slice instead of one per chip
+        self._mesh = mesh
+        self._mesh_axis = mesh_axis
         # per-session warm-start cache (LRU-bounded): the serving analogue
         # of the reference's long-lived MEX workspace whose iterate
         # survives across solves (qpdo_mex.c:22 + qpdo_warm_start,
@@ -251,6 +258,32 @@ class SolverService:
                 y0 = jnp.stack([
                     jnp.zeros((m_pad,), problems.q.dtype).at[: r.shape[1]]
                     .set(jnp.asarray(r.y0)) for r in reqs])
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from .parallel.batch import shard_problems
+
+                ndev = self._mesh.devices.size
+                pad = (-len(reqs)) % ndev
+                if pad:
+                    # pad to the mesh size by repeating the last problem;
+                    # the extra lanes are dropped below (k indexes reqs)
+                    problems = jax.tree.map(
+                        lambda a: jnp.concatenate(
+                            [a, jnp.repeat(a[-1:], pad, axis=0)]), problems)
+                    if x0 is not None:
+                        x0 = jnp.concatenate(
+                            [x0, jnp.repeat(x0[-1:], pad, axis=0)])
+                    if y0 is not None:
+                        y0 = jnp.concatenate(
+                            [y0, jnp.repeat(y0[-1:], pad, axis=0)])
+                problems = shard_problems(problems, self._mesh,
+                                          self._mesh_axis)
+                spec = NamedSharding(self._mesh, P(self._mesh_axis, None))
+                if x0 is not None:
+                    x0 = jax.device_put(x0, spec)
+                if y0 is not None:
+                    y0 = jax.device_put(y0, spec)
             res = _solve_batch(problems, override or self._settings,
                                x0, y0, warm_x, warm_y)
             now = time.perf_counter()

@@ -220,3 +220,34 @@ def test_session_lru_eviction():
         assert svc.stats()["session_warm_hits"] == 1
     finally:
         svc.shutdown()
+
+
+def test_service_mesh_sharded_dispatch():
+    """A mesh-backed service shards each micro-batch over the devices
+    (padding odd batch sizes) and returns per-request results identical
+    to direct solves."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("batch",))
+    svc = SolverService(max_batch=16, max_wait_ms=50, mesh=mesh)
+    try:
+        futs = []
+        probs = []
+        for seed in range(5):  # 5 % 8 != 0: exercises the padding path
+            Q, q, A, l, u = random_qp(24, 18, seed=seed)
+            p = qt.make_problem(Q, q, A, l, u)
+            probs.append((Q, q, A, l, u))
+            futs.append(svc.submit(p))
+        for (Q, q, A, l, u), fut in zip(probs, futs):
+            out = fut.result(180)
+            assert int(out.info.status_val) == qt.SOLVED
+            rp, rd = kkt_residuals(Q, q, A, l, u,
+                                   np.asarray(out.x), np.asarray(out.y))
+            assert rp <= 1e-6 and rd <= 1e-6
+            direct = qt.solve(qt.make_problem(Q, q, A, l, u),
+                              svc._settings)
+            np.testing.assert_allclose(np.asarray(out.x),
+                                       np.asarray(direct.x), atol=1e-8)
+    finally:
+        svc.shutdown()

@@ -128,11 +128,63 @@ def _wait_for_backend(max_wait_s: "float | None" = None) -> bool:
         time.sleep(30.0)
 
 
+def _wait_for_queue_idle(max_wait_s: "float | None" = None) -> None:
+    """Never run two TPU processes at once (the axon worker crashes): if a
+    queued experiment runner (tpu_queue*.sh) is active, wait for it to
+    finish before taking the chip.  Detection scans /proc cmdlines — no
+    signals are sent."""
+    import os
+
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("QPDO_BENCH_QUEUE_WAIT", "3600"))
+    # exclude self and every ancestor (e.g. a `timeout N python bench.py`
+    # wrapper whose cmdline also carries the marker)
+    mine = set()
+    pid = os.getpid()
+    while pid > 1:
+        mine.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                pid = int(fh.read().split(")")[-1].split()[1])
+        except (OSError, ValueError, IndexError):
+            break
+    # the queue scripts' job commands (not their idle backend probes,
+    # which exit as soon as the chip answers)
+    job_markers = (b"bench.py", b"tpu_sparse_newton_probe", b"cg_traj",
+                   b"benchmarks/run.py")
+
+    def queue_active() -> bool:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) in mine:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                    cmd = fh.read().replace(b"\0", b" ")
+            except OSError:
+                continue
+            if any(m in cmd for m in job_markers) and b"python" in cmd:
+                return True
+        return False
+
+    deadline = time.monotonic() + max_wait_s
+    waited = False
+    while queue_active():
+        if time.monotonic() > deadline:
+            print("# queue still active after wait; proceeding", flush=True)
+            return
+        if not waited:
+            print("# experiment queue active; waiting for the chip",
+                  flush=True)
+            waited = True
+        time.sleep(60.0)
+
+
 def main():
     import os
 
     import jax
 
+    _wait_for_queue_idle()
     platform = None
     if not _wait_for_backend():
         # the TPU never recovered: report a CPU number (flagged in the JSON)

@@ -19,7 +19,11 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="python -m qpdo_tpu",
         description="Solve a QPS/MPS convex QP with the qpdo_tpu solver.")
-    p.add_argument("qps", help="path to the QPS file")
+    p.add_argument("qps", nargs="+",
+                   help="path(s) to QPS file(s); several files solve "
+                        "sequentially with one JSON line each plus a "
+                        "summary line (the Maros-Mészáros directory "
+                        "workflow: python -m qpdo_tpu mm/*.QPS)")
     p.add_argument("--eps", type=float, default=1e-6,
                    help="absolute KKT tolerance (default 1e-6)")
     p.add_argument("--max-iter", type=int, default=10000)
@@ -55,20 +59,6 @@ def main(argv=None) -> int:
 
     on_accelerator = jax.default_backend() != "cpu"
 
-    t0 = time.perf_counter()
-    data = read_qps(args.qps, dense=False)
-    n = data.q.shape[0]
-    use_sparse = args.sparse or n > args.dense_max_n
-    if not use_sparse:
-        import scipy.sparse as sps
-        data = type(data)(
-            name=data.name,
-            Q=data.Q.toarray() if sps.issparse(data.Q) else data.Q,
-            q=data.q, c=data.c,
-            A=data.A.toarray() if sps.issparse(data.A) else data.A,
-            l=data.l, u=data.u, n_structural=data.n_structural)
-    parse_s = time.perf_counter() - t0
-
     settings = Settings(eps_abs=args.eps, max_iter=args.max_iter,
                         max_time=args.max_time, ruiz_kkt=args.ruiz_kkt,
                         polish=args.polish, verbose=args.verbose)
@@ -80,30 +70,51 @@ def main(argv=None) -> int:
             kkt_dtype="float32", refine_steps=2,
             mu_min=max(settings.mu_min, 1e-7),
             precond_dtype="float32")
-    t0 = time.perf_counter()
-    res = solve_qps_data(data, settings=settings)
-    status = int(np.asarray(res.info.status_val))  # host sync
-    solve_s = time.perf_counter() - t0
 
-    x = np.asarray(res.x)
-    y = np.asarray(res.y)
-    out = {
-        "name": data.name, "n": int(n), "m": int(data.l.shape[0]),
-        "path": "sparse" if use_sparse else "dense",
-        "status": res.info.status, "status_val": status,
-        "iterations": int(res.info.iterations),
-        "objective": float(res.info.objective),
-        "res_prim": float(res.info.res_prim_norm),
-        "res_dual": float(res.info.res_dual_norm),
-        "parse_s": round(parse_s, 3), "solve_s": round(solve_s, 3),
-    }
-    print(json.dumps(out))
-    if args.print_solution:
-        # NaN-filled solutions (infeasible statuses) must stay valid JSON
-        san = lambda v: [vi if np.isfinite(vi) else None
-                         for vi in v.tolist()]
-        print(json.dumps({"x": san(x), "y": san(y)}))
-    return 0 if status == 1 else 2
+    def solve_one(path: str) -> int:
+        t0 = time.perf_counter()
+        data = read_qps(path, dense=False)
+        n = data.q.shape[0]
+        use_sparse = args.sparse or n > args.dense_max_n
+        if not use_sparse:
+            import scipy.sparse as sps
+            data = type(data)(
+                name=data.name,
+                Q=data.Q.toarray() if sps.issparse(data.Q) else data.Q,
+                q=data.q, c=data.c,
+                A=data.A.toarray() if sps.issparse(data.A) else data.A,
+                l=data.l, u=data.u, n_structural=data.n_structural)
+        parse_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        res = solve_qps_data(data, settings=settings)
+        status = int(np.asarray(res.info.status_val))  # host sync
+        solve_s = time.perf_counter() - t0
+
+        out = {
+            "name": data.name, "n": int(n), "m": int(data.l.shape[0]),
+            "path": "sparse" if use_sparse else "dense",
+            "status": res.info.status, "status_val": status,
+            "iterations": int(res.info.iterations),
+            "objective": float(res.info.objective),
+            "res_prim": float(res.info.res_prim_norm),
+            "res_dual": float(res.info.res_dual_norm),
+            "parse_s": round(parse_s, 3), "solve_s": round(solve_s, 3),
+        }
+        print(json.dumps(out), flush=True)
+        if args.print_solution:
+            # NaN-filled solutions (infeasible statuses) stay valid JSON
+            san = lambda v: [vi if np.isfinite(vi) else None
+                             for vi in np.asarray(v).tolist()]
+            print(json.dumps({"x": san(res.x), "y": san(res.y)}))
+        return status
+
+    statuses = [solve_one(path) for path in args.qps]
+    solved = sum(st == 1 for st in statuses)
+    if len(args.qps) > 1:
+        print(json.dumps({"files": len(args.qps), "solved": solved,
+                          "solve_rate": round(solved / len(args.qps), 4)}))
+    return 0 if solved == len(args.qps) else 2
 
 
 if __name__ == "__main__":

@@ -277,3 +277,33 @@ def test_cli_main(tmp_path, capsys):
     assert head["status_val"] == 1
     assert head["n"] == n
     assert len(sol["x"]) == n and len(sol["y"]) == m
+
+
+def test_cli_multi_file(tmp_path, capsys):
+    """Several QPS files solve sequentially with a summary line (the MM
+    directory workflow)."""
+    import json as _json
+
+    import qpdo_tpu as qt
+    from qpdo_tpu.__main__ import main
+    from qpdo_tpu.io.qps import write_qps
+
+    rng = np.random.default_rng(1)
+    paths = []
+    for i, (n, m) in enumerate([(12, 9), (18, 13)]):
+        M = rng.standard_normal((n, n))
+        prob = qt.make_problem(M @ M.T / n + 0.3 * np.eye(n),
+                               rng.standard_normal(n),
+                               rng.standard_normal((m, n)),
+                               -np.ones(m), np.ones(m))
+        p = str(tmp_path / f"multi{i}.qps")
+        write_qps(prob, p, name=f"M{i}")
+        paths.append(p)
+    rc = main(paths + ["--cpu"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    assert len(lines) == 3
+    assert _json.loads(lines[0])["status_val"] == 1
+    assert _json.loads(lines[1])["status_val"] == 1
+    summary = _json.loads(lines[2])
+    assert summary == {"files": 2, "solved": 2, "solve_rate": 1.0}

@@ -84,7 +84,10 @@ def union_triplets(mats, dtype):
     datas = []
     for (data, _, _), k in zip(trips, keys):
         full = np.zeros((union.shape[0],), np.asarray(data).dtype)
-        full[np.searchsorted(union, k)] = np.asarray(data)
+        # accumulate (COO semantics): an instance may carry duplicate
+        # (i, j) entries (e.g. an unsorted BCOO), which plain positional
+        # assignment would silently drop
+        np.add.at(full, np.searchsorted(union, k), np.asarray(data))
         datas.append(jnp.asarray(full, dtype))
     return datas, indices, shape
 

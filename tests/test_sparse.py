@@ -531,3 +531,17 @@ def test_sparse_batch_sharded_mesh():
                                atol=1e-9)
     np.testing.assert_allclose(np.asarray(sharded.y), np.asarray(plain.y),
                                atol=1e-9)
+
+
+def test_union_triplets_accumulates_duplicates():
+    """Duplicate (i, j) entries in one instance sum (COO semantics) rather
+    than last-write-wins."""
+    from qpdo_tpu.solver.sparse import union_triplets
+
+    dup = (np.array([1.0, 2.0, 5.0]),
+           np.array([[0, 0], [0, 0], [1, 1]], np.int32), (2, 2))
+    other = sps.csr_matrix(np.array([[0.0, 7.0], [0.0, 0.0]]))
+    datas, idx, shape = union_triplets([dup, other], jnp.float64)
+    np.testing.assert_array_equal(np.asarray(idx), [[0, 0], [0, 1], [1, 1]])
+    np.testing.assert_allclose(np.asarray(datas[0]), [3.0, 0.0, 5.0])
+    np.testing.assert_allclose(np.asarray(datas[1]), [0.0, 7.0, 0.0])

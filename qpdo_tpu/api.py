@@ -135,41 +135,42 @@ def solve_sparse_batch(problems, settings: Optional[Settings] = None,
     """
     import numpy as np
 
-    from .solver.sparse import setup_sparse, union_triplets
+    from .solver.sparse import _as_triplets, setup_sparse, union_triplets
 
     settings = settings or Settings()
     validate_settings(settings)
+    problems = [tuple(p) for p in problems]  # materialize iterables
+    if not problems:
+        raise ValueError("solve_sparse_batch: empty problem list")
 
-    def build(ps):
-        ops = []
-        for p in ps:
-            Q, q, A, l, u = p[:5]
-            c = p[5] if len(p) > 5 else 0.0
-            ops.append(setup_sparse(Q, q, A, l, u, c, settings.scaling,
-                                    dtype,
-                                    precond=settings.precond,
-                                    precond_block=settings.precond_block,
-                                    ruiz_kkt=settings.ruiz_kkt))
-        return ops
+    # pattern check on the raw triplets (cheap, host-side) BEFORE building
+    # any operator, so mixed-pattern fleets don't pay setup twice
+    dt = (jnp.float64 if dtype is None and jax.config.jax_enable_x64
+          else jnp.dtype(dtype or jnp.zeros(0).dtype))
+    q_trips = [_as_triplets(p[0], dt) for p in problems]
+    a_trips = [_as_triplets(p[2], dt) for p in problems]
 
-    ops = build(problems)
+    def same_pattern(trips):
+        i0 = np.asarray(trips[0][1])
+        return all(t[1].shape == i0.shape and np.array_equal(t[1], i0)
+                   for t in trips[1:])
+
+    if not (same_pattern(q_trips) and same_pattern(a_trips)):
+        # mixed patterns: re-express every instance on the union pattern
+        q_datas, q_idx, q_shape = union_triplets(q_trips, dt)
+        a_datas, a_idx, a_shape = union_triplets(a_trips, dt)
+        q_trips = [(d, q_idx, q_shape) for d in q_datas]
+        a_trips = [(d, a_idx, a_shape) for d in a_datas]
+
+    ops = []
+    for p, qt_, at_ in zip(problems, q_trips, a_trips):
+        c = p[5] if len(p) > 5 else 0.0
+        ops.append(setup_sparse(qt_, p[1], at_, p[3], p[4], c,
+                                settings.scaling, dtype,
+                                precond=settings.precond,
+                                precond_block=settings.precond_block,
+                                ruiz_kkt=settings.ruiz_kkt))
     base = ops[0]
-    if any(op.a_idx.shape != base.a_idx.shape
-           or op.q_idx.shape != base.q_idx.shape
-           or not (np.array_equal(op.a_idx, base.a_idx)
-                   and np.array_equal(op.q_idx, base.q_idx))
-           for op in ops[1:]):
-        # mixed patterns: rebuild every instance on the union pattern
-        dt = base.dtype
-        q_datas, q_idx, q_shape = union_triplets(
-            [p[0] for p in problems], dt)
-        a_datas, a_idx, a_shape = union_triplets(
-            [p[2] for p in problems], dt)
-        ops = build([(
-            (q_datas[i], q_idx, q_shape), problems[i][1],
-            (a_datas[i], a_idx, a_shape), problems[i][3], problems[i][4],
-            *problems[i][5:6]) for i in range(len(problems))])
-        base = ops[0]
 
     def is_float(x):
         return np.issubdtype(np.asarray(x).dtype, np.floating)

@@ -74,7 +74,6 @@ def lasso_sparse(F, b, lam):
     F = sps.csr_matrix(F)
     b = np.asarray(b, float)
     N, p = F.shape
-    n = 2 * p + N
     Q = sps.diags(np.concatenate([np.zeros(2 * p), np.ones(N)])).tocsr()
     q = np.concatenate([np.zeros(p), np.full(p, float(lam)), -b])
     eye_p = sps.eye(p, format="csr")
@@ -99,7 +98,6 @@ def huber_sparse(F, b, delta):
     F = sps.csr_matrix(F)
     b = np.asarray(b, float)
     N, p = F.shape
-    nz = p + 3 * N
     Q = sps.diags(np.concatenate([np.zeros(p), np.ones(N),
                                   np.zeros(2 * N)])).tocsr()
     q = np.concatenate([np.zeros(p + N), np.full(2 * N, float(delta))])
@@ -218,7 +216,15 @@ def mpc_condensed(Ad, Bd, Qx, Ru, x0, horizon, u_lo=None, u_hi=None,
         if v is None:
             return jnp.full((T * dim,), default, dt)
         v = jnp.asarray(v, dt)
-        return jnp.tile(v, T) if v.ndim == 1 else v.reshape(-1)
+        if v.ndim == 0:
+            return jnp.full((T * dim,), v, dt)
+        if v.shape == (dim,):
+            return jnp.tile(v, T)          # one bound per stage
+        if v.size == T * dim:
+            return v.reshape(-1)           # full per-stage bounds
+        raise ValueError(
+            f"bound must be a scalar, shape ({dim},), or {T}x{dim} "
+            f"entries; got shape {v.shape}")
 
     rows = [jnp.eye(T * nu, dtype=dt)]
     lo = [full(u_lo, -_INF, nu)]

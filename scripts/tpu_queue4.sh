@@ -22,10 +22,10 @@ QPDO_BENCH_KKTROWS=16 timeout 3500 python bench.py > logs/bench_kktrows16.log 2>
 tail -1 logs/bench_kktrows16.log
 
 echo "=== job 3: sparse newton probe ==="
-timeout 2400 python /tmp/tpu_sparse_newton_probe.py > logs/tpu_sparse_newton_probe.log 2>&1
+timeout 2400 python scripts/tpu_sparse_newton_probe.py > logs/tpu_sparse_newton_probe.log 2>&1
 tail -3 logs/tpu_sparse_newton_probe.log
 
 echo "=== job 4: sparse trajectory f32 CG + f32 precond ==="
-timeout 4000 python /tmp/cg_traj.py > logs/tpu_cg_traj2.log 2>&1
+timeout 4000 python scripts/cg_traj.py > logs/tpu_cg_traj2.log 2>&1
 tail -3 logs/tpu_cg_traj2.log
 echo "=== queue done ==="

@@ -22,7 +22,9 @@ q = rng.standard_normal(n)
 l, u = -rng.random(m), rng.random(m)
 
 for tag, s in [
-    ("default", qt.Settings(newton_direct=False, mu_min=1e-7)),
+    # NOTE: no f64-preconditioner variant — a float64 block-Jacobi
+    # Cholesky on the TPU is the documented device-crash path
+    # (CLAUDE.md); precond_dtype="float32" everywhere on-device.
     ("precond_f32", qt.Settings(newton_direct=False, mu_min=1e-7,
                                 precond_dtype="float32")),
     ("jacobi", qt.Settings(newton_direct=False, mu_min=1e-7,

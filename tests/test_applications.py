@@ -259,3 +259,42 @@ def test_lasso_sparse_large():
     tol = 1e-4
     assert np.all(np.abs(g[~active]) <= lam + tol)
     assert np.all(np.abs(g[active] + lam * np.sign(x[active])) <= tol)
+
+
+def test_mpc_condensed_scalar_bounds():
+    """Scalar bounds broadcast to every stage (and a wrong-length vector
+    raises at construction, not deep in the solver)."""
+    Ad = np.array([[1.0, 0.1], [0.0, 0.95]])
+    Bd = np.array([[0.0], [0.1]])
+    res = _solve(apps.mpc_condensed(Ad, Bd, np.eye(2), 0.1 * np.eye(1),
+                                    np.array([1.2, 0.0]), 6,
+                                    u_lo=-0.3, u_hi=0.3))
+    U = np.asarray(res.x)
+    assert np.all(np.abs(U) <= 0.3 + 2e-6)
+    with pytest.raises(ValueError, match="bound must be"):
+        apps.mpc_condensed(Ad, Bd, np.eye(2), 0.1 * np.eye(1),
+                           np.array([1.2, 0.0]), 6, u_lo=np.zeros(5))
+
+
+def test_sparse_batch_accepts_generator():
+    """solve_sparse_batch materializes iterators (mixed patterns arrive
+    as a generator without crashing)."""
+    import scipy.sparse as sps
+
+    rng = np.random.default_rng(13)
+    n, m = 15, 10
+
+    def mk(b):
+        Bm = sps.random(n, n, density=0.2 + 0.05 * b,
+                        random_state=300 + b, format="csr")
+        Q = (Bm.T @ Bm + 0.4 * sps.eye(n)).tocsr()
+        A = sps.random(m, n, density=0.4, random_state=400 + b,
+                       format="csr")
+        A = A + sps.csr_matrix((rng.standard_normal(m),
+                                (np.arange(m), rng.integers(0, n, m))),
+                               shape=(m, n))
+        return (Q, rng.standard_normal(n), A, -np.ones(m), np.ones(m))
+
+    res = qt.solve_sparse_batch(mk(b) for b in range(3))
+    assert res.x.shape == (3, n)
+    assert np.all(np.asarray(res.info.status_val) == qt.SOLVED)

@@ -132,7 +132,12 @@ def _wait_for_queue_idle(max_wait_s: "float | None" = None) -> None:
     """Never run two TPU processes at once (the axon worker crashes): if a
     queued experiment runner (tpu_queue*.sh) is active, wait for it to
     finish before taking the chip.  Detection scans /proc cmdlines — no
-    signals are sent."""
+    signals are sent.
+
+    Known limitation (accepted): two bench.py processes started together
+    each see the other and both proceed after the deadline — there is no
+    mutual-exclusion token, only a politeness wait.  The intended
+    scenario is one driver-run bench vs. background experiment jobs."""
     import os
 
     if max_wait_s is None:

@@ -14,7 +14,8 @@ from .constants import (
     MAX_ITER_REACHED, MAX_TIME_REACHED, UNSOLVED, QPDO_INFTY,
 )
 from .types import Problem, Settings, Info, Result, ScaledProblem, SolverState
-from .api import solve, solve_sparse, solve_sparse_batch, make_problem, QPDO
+from .api import (solve, solve_sparse, solve_sparse_batch,
+                  solve_sparse_heterogeneous, make_problem, QPDO)
 from .continuation import solve_continuation, grid1d_prolong, grid2d_interp
 from .diff import qp_solve, sparse_qp_layer
 from .solver.scaling import scale_problem
@@ -24,7 +25,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Problem", "Settings", "Info", "Result", "ScaledProblem", "SolverState",
-    "solve", "solve_sparse", "solve_sparse_batch", "make_problem", "QPDO", "scale_problem", "solve_scaled", "qp_solve", "sparse_qp_layer",
+    "solve", "solve_sparse", "solve_sparse_batch",
+    "solve_sparse_heterogeneous", "make_problem", "QPDO", "scale_problem", "solve_scaled", "qp_solve", "sparse_qp_layer",
     "solve_continuation", "grid1d_prolong", "grid2d_interp",
     "SOLVED", "NON_CVX", "PRIMAL_INFEASIBLE", "DUAL_INFEASIBLE",
     "MAX_ITER_REACHED", "MAX_TIME_REACHED", "UNSOLVED", "QPDO_INFTY",

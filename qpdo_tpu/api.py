@@ -209,6 +209,39 @@ def solve_sparse_batch(problems, settings: Optional[Settings] = None,
     return jax.jit(fn)(stacked, x0, y0)
 
 
+def solve_sparse_heterogeneous(problems, settings: Optional[Settings] = None,
+                               dtype=None, mesh=None,
+                               axis: str = "batch") -> list:
+    """Mixed-SIZE sparse fleet: pad every instance to the fleet's max
+    (n, m) with inert variables/rows (unit-diagonal Q, all-zero free
+    constraint rows — the sparse analogue of utils.padding.pad_problem),
+    batch through the union pattern, and return one Result per problem
+    sliced back to its original sizes.
+
+    The sparse counterpart of ``utils.padding.solve_heterogeneous``
+    (single bucket: one compiled program for the whole fleet; worth it
+    when sizes are within ~2x of each other, wasteful beyond that).
+    """
+    import numpy as np
+
+    from .solver.sparse import pad_sparse_problem
+    from .utils.padding import unpad_result
+
+    problems = [tuple(p) for p in problems]
+    if not problems:
+        raise ValueError("solve_sparse_heterogeneous: empty problem list")
+    dims = [(np.asarray(p[1]).reshape(-1).shape[0],
+             np.asarray(p[3]).reshape(-1).shape[0]) for p in problems]
+    n_pad = max(n for n, _ in dims)
+    m_pad = max(m for _, m in dims)
+    dt = (jnp.float64 if dtype is None and jax.config.jax_enable_x64
+          else jnp.dtype(dtype or jnp.zeros(0).dtype))
+    padded = [pad_sparse_problem(p, n_pad, m_pad, dt) for p in problems]
+    res = solve_sparse_batch(padded, settings, dtype, mesh=mesh, axis=axis)
+    return [unpad_result(jax.tree.map(lambda a, i=i: a[i], res), n, m)
+            for i, (n, m) in enumerate(dims)]
+
+
 def solve(problem: Problem, settings: Optional[Settings] = None,
           x0=None, y0=None) -> Result:
     """One-shot functional solve (setup + optional warm start + solve).

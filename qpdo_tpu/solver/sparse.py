@@ -55,6 +55,42 @@ def _as_triplets(M, dtype):
             jnp.asarray(np.stack([r, c], axis=1), jnp.int32), Md.shape)
 
 
+def pad_sparse_problem(p, n_pad: int, m_pad: int, dtype):
+    """Pad a sparse ``(Q, q, A, l, u[, c])`` tuple to (n_pad, m_pad)
+    inertly, in triplet form: padded variables get a unit Q diagonal and
+    zero q (they solve to exactly 0 and stay 0 — same argument as
+    utils.padding.pad_problem), padded constraint rows are all-zero with
+    free bounds.  Returns a tuple ready for solve_sparse_batch."""
+    import numpy as np
+
+    from .. import constants as _c
+
+    Q, q, A, l, u = p[:5]
+    c = p[5] if len(p) > 5 else 0.0
+    qd, qi, (nq, _) = _as_triplets(Q, dtype)
+    ad, ai, (m, n) = _as_triplets(A, dtype)
+    q = np.asarray(q, float).reshape(-1)
+    n = q.shape[0]
+    if n_pad < n or m_pad < m:
+        raise ValueError(f"pad target ({n_pad},{m_pad}) smaller than "
+                         f"({n},{m})")
+    dn = n_pad - n
+    if dn:
+        diag = np.arange(n, n_pad, dtype=np.int32)
+        qd = np.concatenate([np.asarray(qd), np.ones(dn)])
+        qi = np.concatenate([np.asarray(qi),
+                             np.stack([diag, diag], axis=1)])
+    inf = float(_c.QPDO_INFTY)
+    q_pad = np.concatenate([q, np.zeros(dn)])
+    l_pad = np.concatenate([np.asarray(l, float).reshape(-1),
+                            np.full(m_pad - m, -inf)])
+    u_pad = np.concatenate([np.asarray(u, float).reshape(-1),
+                            np.full(m_pad - m, inf)])
+    return ((qd, qi, (n_pad, n_pad)), q_pad,
+            (np.asarray(ad), np.asarray(ai), (m_pad, n_pad)),
+            l_pad, u_pad, c)
+
+
 def union_triplets(mats, dtype):
     """Re-express a sequence of same-shape sparse matrices on the UNION of
     their sparsity patterns: returns ``(datas, indices, shape)`` where

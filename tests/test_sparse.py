@@ -545,3 +545,37 @@ def test_union_triplets_accumulates_duplicates():
     np.testing.assert_array_equal(np.asarray(idx), [[0, 0], [0, 1], [1, 1]])
     np.testing.assert_allclose(np.asarray(datas[0]), [3.0, 0.0, 5.0])
     np.testing.assert_allclose(np.asarray(datas[1]), [0.0, 7.0, 0.0])
+
+
+def test_sparse_heterogeneous_fleet():
+    """Mixed-size sparse fleet: padded lanes are inert — each member's
+    sliced result matches its individual solve and the KKT oracle."""
+    rng = np.random.default_rng(55)
+    specs = [(20, 14), (33, 25), (27, 40)]
+    probs = []
+    for i, (n, m) in enumerate(specs):
+        Bm = sps.random(n, n, density=0.2, random_state=700 + i,
+                        format="csr")
+        Q = (Bm.T @ Bm + 0.4 * sps.eye(n)).tocsr()
+        A = sps.random(m, n, density=0.3, random_state=800 + i,
+                       format="csr")
+        A = A + sps.csr_matrix((rng.standard_normal(m),
+                                (np.arange(m), rng.integers(0, n, m))),
+                               shape=(m, n))
+        probs.append((Q, rng.standard_normal(n), A,
+                      -np.ones(m), np.ones(m)))
+
+    results = qt.solve_sparse_heterogeneous(probs)
+    assert len(results) == 3
+    for (n, m), (Q, q, A, l, u), res in zip(specs, probs, results):
+        assert res.x.shape == (n,) and res.y.shape == (m,)
+        assert int(res.info.status_val) == qt.SOLVED
+        x, y = np.asarray(res.x), np.asarray(res.y)
+        Ax = A @ x
+        rp = np.abs(Ax - np.clip(Ax + y, l, u)).max()
+        rd = np.abs(Q @ x + q + A.T @ y).max()
+        assert rp <= 1e-6 and rd <= 1e-6
+        single = qt.solve_sparse(Q, q, A, l, u)
+        # padding + union may alter the Newton backend; both solutions
+        # are eps-valid, so pin loosely (the oracle above is the gate)
+        np.testing.assert_allclose(x, np.asarray(single.x), atol=1e-4)

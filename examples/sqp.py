@@ -32,69 +32,7 @@ import jax.numpy as jnp  # noqa: E402
 import qpdo_tpu as qt  # noqa: E402
 
 
-def sqp_minimize(f, c, x0, l, u, max_outer=50, tol=1e-8, tr0=1.0,
-                 verbose=False):
-    """Minimal damped-BFGS SQP with an l1-merit backtracking linesearch.
-    Returns (x, iterations)."""
-    grad_f = jax.grad(f)
-    jac_c = jax.jacfwd(c)
-    x = jnp.asarray(x0, jnp.float64)
-    n = x.shape[0]
-    B = jnp.eye(n)
-    l = jnp.asarray(l, jnp.float64)
-    u = jnp.asarray(u, jnp.float64)
-    mu_merit = 10.0
-    tr = tr0
-    y_warm = None
-    settings = qt.Settings(eps_abs=1e-9, verbose=False)
-
-    def merit(x):
-        cv = c(x)
-        viol = jnp.maximum(l - cv, 0.0) + jnp.maximum(cv - u, 0.0)
-        return f(x) + mu_merit * jnp.sum(viol)
-
-    for it in range(max_outer):
-        g = grad_f(x)
-        J = jnp.atleast_2d(jac_c(x))
-        cv = jnp.atleast_1d(c(x))
-        m = cv.shape[0]
-        # QP over the step d: min 0.5 d'Bd + g'd
-        #                     s.t. l - c <= J d <= u - c,  |d| <= tr
-        A = jnp.concatenate([J, jnp.eye(n)], axis=0)
-        lo = jnp.concatenate([l - cv, jnp.full((n,), -tr)])
-        hi = jnp.concatenate([u - cv, jnp.full((n,), tr)])
-        prob = qt.make_problem(B, g, A, lo, hi)
-        res = qt.solve(prob, settings,
-                       y0=y_warm if y_warm is not None else None)
-        d = jnp.asarray(res.x)
-        y_warm = jnp.asarray(res.y)
-        if float(jnp.max(jnp.abs(d))) < tol:
-            return np.asarray(x), it
-        # l1-merit backtracking
-        m0 = float(merit(x))
-        t = 1.0
-        while t > 1e-10 and float(merit(x + t * d)) > m0 - 1e-4 * t * float(
-                d @ (B @ d)):
-            t *= 0.5
-        x_new = x + t * d
-        # damped BFGS (Powell) update on the Lagrangian gradient change
-        yL = (grad_f(x_new) - g
-              + (jnp.atleast_2d(jac_c(x_new)) - J).T @ y_warm[:m])
-        s = x_new - x
-        sBs = float(s @ (B @ s))
-        sy = float(s @ yL)
-        if sBs > 1e-14:
-            theta = 1.0 if sy >= 0.2 * sBs else (0.8 * sBs) / (sBs - sy)
-            r = theta * yL + (1 - theta) * (B @ s)
-            B = (B - jnp.outer(B @ s, B @ s) / sBs
-                 + jnp.outer(r, r) / float(s @ r))
-        x = x_new
-        tr = min(2.0 * tr, 10.0) if t == 1.0 else max(0.5 * tr, 1e-6)
-        if verbose:
-            print(f"  it {it:3d}  f={float(f(x)):+.8f}  |d|="
-                  f"{float(jnp.max(jnp.abs(d))):.2e}  t={t:.3f}  "
-                  f"qp_iters={int(res.info.iterations)}")
-    return np.asarray(x), max_outer
+from qpdo_tpu.applications import sqp_minimize  # noqa: E402
 
 
 def main():

@@ -23,6 +23,7 @@ from .types import Problem
 __all__ = [
     "lasso", "lasso_sparse", "svm_dual", "svm_primal_from_dual",
     "portfolio", "mpc_condensed", "nonneg_ls", "huber_fit", "huber_sparse",
+    "sqp_minimize",
 ]
 
 _INF = jnp.inf
@@ -277,3 +278,80 @@ def huber_fit(F, b, delta) -> Problem:
     l = jnp.concatenate([b, jnp.zeros((2 * N,), dt)])
     u = jnp.concatenate([b, jnp.full((2 * N,), _INF, dt)])
     return make_problem(Q, q, A, l, u)
+
+
+def sqp_minimize(f, c, x0, l, u, max_outer: int = 50, tol: float = 1e-8,
+                 tr0: float = 1.0, settings=None):
+    """Sequential Quadratic Programming for smooth nonlinear programs
+    min f(x) s.t. l <= c(x) <= u, built on this QP solver.
+
+    Classic recipe: linearize c at the iterate, solve a convex QP over
+    the step (damped-BFGS Hessian estimate, trust-region box), globalize
+    with an l1-merit backtracking linesearch; derivatives via
+    jax.grad/jax.jacfwd, QP duals warm-start the next subproblem.
+    Returns ``(x, iterations)``.
+
+    Caveats (by design — this is a light driver, not a hardened NLP
+    solver): f and c must be smooth jax-traceable callables, the BFGS
+    model assumes a locally convex Lagrangian, and there is no
+    feasibility restoration.  Validated on constrained Rosenbrock, an
+    HS6-style equality problem, and an entropy/simplex problem
+    (tests/test_applications.py).  The reference has no NLP layer.
+    """
+    import jax
+    import numpy as np
+
+    from .api import solve
+    from .types import Settings
+
+    grad_f = jax.grad(f)
+    jac_c = jax.jacfwd(c)
+    x = jnp.asarray(x0, jnp.float64)
+    n = x.shape[0]
+    B = jnp.eye(n)
+    l = jnp.asarray(l, jnp.float64)
+    u = jnp.asarray(u, jnp.float64)
+    mu_merit = 10.0
+    tr = tr0
+    y_warm = None
+    settings = settings or Settings(eps_abs=1e-9, verbose=False)
+
+    def merit(x):
+        cv = c(x)
+        viol = jnp.maximum(l - cv, 0.0) + jnp.maximum(cv - u, 0.0)
+        return f(x) + mu_merit * jnp.sum(viol)
+
+    for it in range(max_outer):
+        g = grad_f(x)
+        J = jnp.atleast_2d(jac_c(x))
+        cv = jnp.atleast_1d(c(x))
+        m = cv.shape[0]
+        A = jnp.concatenate([J, jnp.eye(n)], axis=0)
+        lo = jnp.concatenate([l - cv, jnp.full((n,), -tr)])
+        hi = jnp.concatenate([u - cv, jnp.full((n,), tr)])
+        res = solve(make_problem(B, g, A, lo, hi), settings,
+                    y0=y_warm if y_warm is not None else None)
+        d = jnp.asarray(res.x)
+        y_warm = jnp.asarray(res.y)
+        if float(jnp.max(jnp.abs(d))) < tol:
+            return np.asarray(x), it
+        m0 = float(merit(x))
+        t = 1.0
+        while t > 1e-10 and float(merit(x + t * d)) > m0 - 1e-4 * t * float(
+                d @ (B @ d)):
+            t *= 0.5
+        x_new = x + t * d
+        # damped BFGS (Powell) on the Lagrangian gradient change
+        yL = (grad_f(x_new) - g
+              + (jnp.atleast_2d(jac_c(x_new)) - J).T @ y_warm[:m])
+        s = x_new - x
+        sBs = float(s @ (B @ s))
+        sy = float(s @ yL)
+        if sBs > 1e-14:
+            theta = 1.0 if sy >= 0.2 * sBs else (0.8 * sBs) / (sBs - sy)
+            r = theta * yL + (1 - theta) * (B @ s)
+            B = (B - jnp.outer(B @ s, B @ s) / sBs
+                 + jnp.outer(r, r) / float(s @ r))
+        x = x_new
+        tr = min(2.0 * tr, 10.0) if t == 1.0 else max(0.5 * tr, 1e-6)
+    return np.asarray(x), max_outer

@@ -298,3 +298,30 @@ def test_sparse_batch_accepts_generator():
     res = qt.solve_sparse_batch(mk(b) for b in range(3))
     assert res.x.shape == (3, n)
     assert np.all(np.asarray(res.info.status_val) == qt.SOLVED)
+
+
+def test_sqp_minimize_classics():
+    """SQP driver converges to the known optima of three classic NLPs
+    (constrained Rosenbrock, HS6-style equality, entropy-simplex)."""
+    import jax.numpy as jnp
+
+    f = lambda z: (1 - z[0]) ** 2 + 100.0 * (z[1] - z[0] ** 2) ** 2
+    c = lambda z: jnp.array([z[0] ** 2 + z[1] ** 2])
+    x, its = apps.sqp_minimize(f, c, [0.0, 0.0], [-jnp.inf], [1.0])
+    assert its < 50
+    np.testing.assert_allclose(x, [0.7864, 0.6177], atol=1e-3)
+
+    f2 = lambda z: (1 - z[0]) ** 2
+    c2 = lambda z: jnp.array([10.0 * (z[1] - z[0] ** 2)])
+    x, _ = apps.sqp_minimize(f2, c2, [-1.2, 1.0], [0.0], [0.0])
+    np.testing.assert_allclose(x, [1.0, 1.0], atol=1e-5)
+
+    f3 = lambda z: (jnp.sum(z * jnp.log(jnp.maximum(z, 1e-12)))
+                    + z @ jnp.arange(4.0))
+    c3 = lambda z: jnp.concatenate([jnp.sum(z)[None], z])
+    lo = jnp.concatenate([jnp.ones(1), jnp.zeros(4)])
+    hi = jnp.concatenate([jnp.ones(1), jnp.full(4, jnp.inf)])
+    x, _ = apps.sqp_minimize(f3, c3, jnp.full(4, 0.25), lo, hi)
+    ref = np.exp(-np.arange(4.0))
+    ref /= ref.sum()
+    np.testing.assert_allclose(x, ref, atol=1e-4)

@@ -71,12 +71,26 @@ def main():
 
     res = ladder[-1]
     Q, q, A, l, u = problems[-1]
-    x, y = np.asarray(res.x), np.asarray(res.y)
-    Ax = A @ x
-    rp = np.max(np.abs(Ax - np.clip(Ax + y, l, u)))
-    rd = np.max(np.abs(Q @ x + q + A.T @ y))
+
+    def oracle(res):
+        x, y = np.asarray(res.x), np.asarray(res.y)
+        Ax = A @ x
+        return (np.max(np.abs(Ax - np.clip(Ax + y, l, u))),
+                np.max(np.abs(Q @ x + q + A.T @ y)))
+
+    rp, rd = oracle(res)
     print(f"final KKT: rp={rp:.2e} rd={rd:.2e} "
           f"(ladder wall time {float(res.info.run_time):.1f} s)")
+    if rp > 1e-6 or rd > 1e-6:
+        # At very large n the solver's internal residual estimate can sit
+        # a few 10% from this independent recomputation; one warm re-solve
+        # restarts from fresh caches and closes the gap in a handful of
+        # iterations.
+        res = qt.solve_sparse(Q, q, A, l, u, settings=settings,
+                              x0=res.x, y0=res.y, dtype="float64")
+        rp, rd = oracle(res)
+        print(f"after warm re-solve ({int(res.info.iterations)} iters): "
+              f"rp={rp:.2e} rd={rd:.2e}")
     assert rp <= 1e-6 and rd <= 1e-6
 
 

@@ -64,33 +64,24 @@ def main():
                            inner_max_iter=100, eps_abs_in=0.1,
                            rho=0.2, delta=1e-4, theta=0.9)
 
+    # refine_final: a warm fine level can stop with the not-yet-recentered
+    # proximal term sigma*(x - xbar) still inside its residual estimate
+    # (reference termination semantics); the flag oracle-checks the finest
+    # level and warm re-solves once (~1 iteration) when needed.
     ladder = qt.solve_continuation(problems, settings, prolong=prolong,
-                                   dtype="float64", return_all=True)
+                                   dtype="float64", return_all=True,
+                                   refine_final=True)
     for n, r in zip(levels, ladder):
         print(f"  n={n:6d}: {r.info.status:10s} {int(r.info.iterations):6d} iters")
 
     res = ladder[-1]
     Q, q, A, l, u = problems[-1]
-
-    def oracle(res):
-        x, y = np.asarray(res.x), np.asarray(res.y)
-        Ax = A @ x
-        return (np.max(np.abs(Ax - np.clip(Ax + y, l, u))),
-                np.max(np.abs(Q @ x + q + A.T @ y)))
-
-    rp, rd = oracle(res)
+    x, y = np.asarray(res.x), np.asarray(res.y)
+    Ax = A @ x
+    rp = np.max(np.abs(Ax - np.clip(Ax + y, l, u)))
+    rd = np.max(np.abs(Q @ x + q + A.T @ y))
     print(f"final KKT: rp={rp:.2e} rd={rd:.2e} "
           f"(ladder wall time {float(res.info.run_time):.1f} s)")
-    if rp > 1e-6 or rd > 1e-6:
-        # At very large n the solver's internal residual estimate can sit
-        # a few 10% from this independent recomputation; one warm re-solve
-        # restarts from fresh caches and closes the gap in a handful of
-        # iterations.
-        res = qt.solve_sparse(Q, q, A, l, u, settings=settings,
-                              x0=res.x, y0=res.y, dtype="float64")
-        rp, rd = oracle(res)
-        print(f"after warm re-solve ({int(res.info.iterations)} iters): "
-              f"rp={rp:.2e} rd={rd:.2e}")
     assert rp <= 1e-6 and rd <= 1e-6
 
 

@@ -202,3 +202,33 @@ def test_grid2d_cont_ladder_saves_iterations():
     assert rp <= 1e-5 and rd <= 1e-5
     fine_iters = int(results[-1].info.iterations)
     assert fine_iters < int(cold.info.iterations)
+
+
+def test_refine_final_noop_when_oracle_passes():
+    """refine_final leaves an already-verified ladder untouched (the
+    firing path — a warm fine level with a stale prox center — is
+    exercised at scale by examples/continuation.py, RESULTS.md LISWET
+    n=90k)."""
+    kc, kf = 8, 16
+    s = qt.Settings(eps_abs=1e-6, max_iter=20000, inner_max_iter=100,
+                    eps_abs_in=0.1, rho=0.02, delta=0.1)
+
+    def prolong(x, y):
+        ncg, nfg = kc * kc, kf * kf
+        x0 = np.empty(2 * nfg)
+        x0[0::2] = qt.grid2d_interp(kc, kf, x[0::2], boundary=0.0)
+        x0[1::2] = qt.grid2d_interp(kc, kf, x[1::2])
+        scale = ((kf + 1.0) / (kc + 1.0)) ** 2
+        y0 = np.concatenate([
+            qt.grid2d_interp(kc, kf, y[:ncg]) * scale,
+            qt.grid2d_interp(kc, kf, y[ncg:]),
+        ])
+        return x0, y0
+
+    plain = qt.solve_continuation([cont2d(kc), cont2d(kf)], settings=s,
+                                  prolong=prolong)
+    refined = qt.solve_continuation([cont2d(kc), cont2d(kf)], settings=s,
+                                    prolong=prolong, refine_final=True)
+    np.testing.assert_allclose(np.asarray(refined.x), np.asarray(plain.x),
+                               atol=0)
+    assert int(refined.info.iterations) == int(plain.info.iterations)

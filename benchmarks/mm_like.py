@@ -189,6 +189,33 @@ def gen_cont(rng, k, alpha=1e-2, ubox=1.0):
     return Q, q, A, l, u
 
 
+def gen_gouldqp(rng, n):
+    """GOULDQP2/3-style spring-chain QP: tridiagonal SPD Q (spring
+    stiffness), bidiagonal difference rows x_{i+1} - x_i in a band, and
+    variable boxes — feasibility anchored at a cumulative witness."""
+    main = 2.0 + rng.random(n)
+    off = -(0.5 + 0.4 * rng.random(n - 1))
+    Q = sps.diags([off, main, off], (-1, 0, 1)).tocsr()
+    # strict diagonal dominance -> SPD
+    target = rng.standard_normal(n) * 0.5
+    q = -(Q @ target)
+
+    m = n - 1
+    D = sps.diags([-np.ones(m), np.ones(m)], (0, 1),
+                  shape=(m, n)).tocsr()
+    # anchor the difference band at a feasible witness
+    x_w = np.cumsum(rng.uniform(-0.05, 0.05, n))
+    d_w = np.diff(x_w)
+    band = 0.02 + 0.05 * rng.random(m)
+    l_d = d_w - band
+    u_d = d_w + band
+    I = sps.eye(n, format="csr")
+    A = sps.vstack([D, I]).tocsr()
+    lo_x = x_w - 1.0
+    hi_x = x_w + 1.0
+    return Q, q, A, np.concatenate([l_d, lo_x]), np.concatenate([u_d, hi_x])
+
+
 def gen_dual(rng, n):
     """DUALC-style: small dense ill-conditioned Q, simplex + bounds."""
     U = np.linalg.qr(rng.standard_normal((n, n)))[0]
@@ -304,6 +331,10 @@ def build_suite(rng, max_n):
         if 2 * k * k > max_n:
             continue
         add("CONT", gen_cont, k)
+    for n in (350, 3500, 10000):
+        if n > max_n:
+            continue
+        add("GOULDQP", gen_gouldqp, n)
     for n in (10, 30, 85, 200):
         add("DUALC", gen_dual, n)
     for n in (3, 5, 10, 20):

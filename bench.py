@@ -287,6 +287,10 @@ def main():
     # axon), not work — min(dt) estimates the uncontended solve time.  The
     # spread is reported (timing_spread = max/min) so a noisy run is visible.
     reps = int(os.environ.get("QPDO_BENCH_REPS", 3))
+    # probe the chip's matmul peak BEFORE the timed reps as well as after:
+    # a single probe landing in a contended window under-measures the peak
+    # (observed 0.056 vs the usual 0.23-0.28 TFLOPS) and makes MFU read > 1
+    peak_pre = measure_peak_tflops()
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -298,7 +302,8 @@ def main():
     mean_iters = float(jnp.mean(res.info.iterations))
 
     # ---- FLOP / MFU accounting ------------------------------------------
-    peak = measure_peak_tflops()
+    peak_post = measure_peak_tflops()
+    peak = {k: max(peak_pre[k], peak_post[k]) for k in peak_pre}
     def total(with_certs: bool) -> float:
         f = B * mean_iters * flops_per_iteration(
             n, m, settings.refine_steps, settings.kkt_update_rows,
@@ -311,6 +316,14 @@ def main():
     total_flops = total(True)
     total_flops_lower = total(False)
     achieved_tflops = total_flops / dt / 1e12
+    # the solver's own lower-bound FLOP rate is itself evidence of what the
+    # chip can do: if every peak probe landed in contended windows and reads
+    # below it, floor the peak there so MFU stays a fraction (and flag it)
+    peak_floored = False
+    lower_tflops = total_flops_lower / dt / 1e12
+    if peak["f32_highest"] < lower_tflops:
+        peak["f32_highest"] = lower_tflops
+        peak_floored = True
     mfu = achieved_tflops / peak["f32_highest"]
     mfu_lower = total_flops_lower / dt / 1e12 / peak["f32_highest"]
 
@@ -331,6 +344,7 @@ def main():
         "oracle_verified_fraction": round(oracle_ok, 4),
         "oracle_max_res": round(float(max(rp.max(), rd.max())), 9),
         "timing_spread": round(max(times) / min(times), 3),
+        **({"peak_floored_from_solver": True} if peak_floored else {}),
         **({"fallback": fallback} if fallback else {}),
         **({"platform": platform} if platform else {}),
     }))

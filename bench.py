@@ -128,16 +128,50 @@ def _wait_for_backend(max_wait_s: "float | None" = None) -> bool:
         time.sleep(30.0)
 
 
-def _wait_for_queue_idle(max_wait_s: "float | None" = None) -> None:
-    """Never run two TPU processes at once (the axon worker crashes): if a
-    queued experiment runner (tpu_queue*.sh) is active, wait for it to
-    finish before taking the chip.  Detection scans /proc cmdlines — no
-    signals are sent.
+def acquire_chip_lock(max_wait_s: "float | None" = None,
+                      lock_path: str = "/tmp/qpdo_tpu_chip.lock"):
+    """Mutual-exclusion token for the chip: blocks until an exclusive
+    flock on ``lock_path`` is held, then returns the open file object
+    (hold it for the process lifetime; the kernel releases the lock on
+    exit/crash).  Two bench/probe processes started together can never
+    co-run — one waits on the lock instead of both proceeding after the
+    politeness-scan deadline (the round-2 known limitation).
 
-    Known limitation (accepted): two bench.py processes started together
-    each see the other and both proceed after the deadline — there is no
-    mutual-exclusion token, only a politeness wait.  The intended
-    scenario is one driver-run bench vs. background experiment jobs."""
+    Returns None only if the wait deadline expires (lock holder stuck);
+    callers proceed in that case, matching the old politeness behavior,
+    but the event is printed."""
+    import fcntl
+    import os
+
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("QPDO_BENCH_QUEUE_WAIT", "3600"))
+    fh = open(lock_path, "a+")  # noqa: SIM115 — held for process lifetime
+    deadline = time.monotonic() + max_wait_s
+    waited = False
+    while True:
+        try:
+            fcntl.flock(fh.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return fh
+        except OSError:
+            if time.monotonic() > deadline:
+                print("# chip lock still held after wait; proceeding",
+                      flush=True)
+                fh.close()
+                return None
+            if not waited:
+                print("# chip lock held by another process; waiting",
+                      flush=True)
+                waited = True
+            time.sleep(10.0)
+
+
+def _wait_for_queue_idle(max_wait_s: "float | None" = None) -> None:
+    """Politeness wait for TPU processes that do NOT take the flock token
+    (acquire_chip_lock) — e.g. older experiment scripts: if a queued
+    experiment runner (tpu_queue*.sh) is active, wait for it to finish
+    before taking the chip.  Detection scans /proc cmdlines — no signals
+    are sent.  Mutual exclusion between lock-aware processes is the
+    flock's job, not this scan's."""
     import os
 
     if max_wait_s is None:
@@ -189,6 +223,7 @@ def main():
 
     import jax
 
+    _chip_lock = acquire_chip_lock()  # held (kernel-released) until exit
     _wait_for_queue_idle()
     platform = None
     if not _wait_for_backend():
@@ -300,14 +335,25 @@ def main():
 
     qps = B / dt
     mean_iters = float(jnp.mean(res.info.iterations))
+    # per-phase split: the float32 warmup iterations skip the certificate
+    # GEMMs and run refine_steps=1 — feeding each phase its own FLOP
+    # formula replaces the old single-formula × mean_iters estimate
+    warm_iters = float(jnp.mean(res.info.warmup_iterations))
+    p2_iters = max(0.0, mean_iters - warm_iters)
 
     # ---- FLOP / MFU accounting ------------------------------------------
     peak_post = measure_peak_tflops()
+    # measured peak = best probe; NEVER overwritten below (round-2 flaw:
+    # flooring used to replace the measurement, making MFU circular)
     peak = {k: max(peak_pre[k], peak_post[k]) for k in peak_pre}
-    def total(with_certs: bool) -> float:
-        f = B * mean_iters * flops_per_iteration(
+
+    def total(certs_in_phase2: bool) -> float:
+        f = B * warm_iters * flops_per_iteration(
+            n, m, 1, settings.kkt_update_rows,
+            settings.anchor_every, with_certs=False)
+        f += B * p2_iters * flops_per_iteration(
             n, m, settings.refine_steps, settings.kkt_update_rows,
-            settings.anchor_every, with_certs)
+            settings.anchor_every, with_certs=certs_in_phase2)
         if settings.polish:
             # two polish calls per solve: post-warmup + final
             f += B * 2 * polish_flops(n, m, settings.polish_refine)
@@ -316,16 +362,19 @@ def main():
     total_flops = total(True)
     total_flops_lower = total(False)
     achieved_tflops = total_flops / dt / 1e12
-    # the solver's own lower-bound FLOP rate is itself evidence of what the
-    # chip can do: if every peak probe landed in contended windows and reads
-    # below it, floor the peak there so MFU stays a fraction (and flag it)
-    peak_floored = False
     lower_tflops = total_flops_lower / dt / 1e12
-    if peak["f32_highest"] < lower_tflops:
-        peak["f32_highest"] = lower_tflops
-        peak_floored = True
-    mfu = achieved_tflops / peak["f32_highest"]
-    mfu_lower = total_flops_lower / dt / 1e12 / peak["f32_highest"]
+    # the solver's own lower-bound FLOP rate is evidence of what the chip
+    # can do: if every peak probe landed in contended windows and reads
+    # below it, USE the floored value for the MFU denominator — but report
+    # the raw probes and the floored value as separate fields
+    peak_floored = peak["f32_highest"] < lower_tflops
+    peak_used = max(peak["f32_highest"], lower_tflops)
+    mfu_raw = achieved_tflops / peak_used
+    mfu_lower = lower_tflops / peak_used
+    # with-certs numerator over a lower-bound-floored denominator can
+    # read > 1; that is probe undershoot, not >100% utilization — clamp
+    # and flag rather than print an impossible number
+    mfu = min(mfu_raw, 1.0)
 
     baseline = 10_000.0  # north-star QPs/s/chip (BASELINE.json)
     print(json.dumps({
@@ -336,15 +385,23 @@ def main():
         "solved_fraction": round(solved, 4),
         "batch": B,
         "mean_iters": round(mean_iters, 2),
+        "warmup_mean_iters": round(warm_iters, 2),
+        "phase2_mean_iters": round(p2_iters, 2),
         "achieved_tflops": round(achieved_tflops, 4),
+        "achieved_tflops_lower": round(lower_tflops, 4),
         "peak_tflops_f32_highest": round(peak["f32_highest"], 3),
         "peak_tflops_bf16": round(peak["bf16"], 3),
+        "peak_pre_tflops_f32": round(peak_pre["f32_highest"], 3),
+        "peak_post_tflops_f32": round(peak_post["f32_highest"], 3),
+        "peak_used_tflops": round(peak_used, 3),
         "mfu": round(mfu, 4),
         "mfu_lower": round(mfu_lower, 4),
         "oracle_verified_fraction": round(oracle_ok, 4),
         "oracle_max_res": round(float(max(rp.max(), rd.max())), 9),
         "timing_spread": round(max(times) / min(times), 3),
         **({"peak_floored_from_solver": True} if peak_floored else {}),
+        **({"mfu_clamped_probe_undershoot": round(mfu_raw, 4)}
+           if mfu_raw > 1.0 else {}),
         **({"fallback": fallback} if fallback else {}),
         **({"platform": platform} if platform else {}),
     }))

@@ -146,7 +146,7 @@ def init_state(op, settings: Settings,
         status=jnp.asarray(_c.UNSOLVED, jnp.int32),
         res_prim_norm=zero, res_dual_norm=zero,
         res_prim_in_norm=zero, res_dual_in_norm=zero,
-        kkt_cache=kkt_cache)
+        kkt_cache=kkt_cache, warmup_iter=i0)
 
 
 # ---------------------------------------------------------------------------
@@ -468,6 +468,7 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
         # the cache advances only on Newton steps (outer/frozen steps did
         # not factor); None stays None (tree.map skips empty subtrees)
         kkt_cache=pick(kkt_cache_new, s.kkt_cache, s.kkt_cache),
+        warmup_iter=s.warmup_iter,
     )
 
 
@@ -586,7 +587,9 @@ def finalize(op, settings: Settings, s: SolverState,
         res_prim_in_norm=s.res_prim_in_norm,
         res_dual_in_norm=s.res_dual_in_norm,
         objective=objective_value(op, s.x, s.Qx),
-        setup_time=zero, solve_time=zero, run_time=zero)
+        setup_time=zero, solve_time=zero, run_time=zero,
+        warmup_iterations=(s.warmup_iter if s.warmup_iter is not None
+                           else jnp.zeros_like(s.iter)))
     return Result(x=x_out, y=y_out, prim_inf_cert=dy_cert,
                   dual_inf_cert=dx_cert, info=info)
 
@@ -710,7 +713,8 @@ def upcast_state(op, settings: Settings, s: SolverState) -> SolverState:
         status=status.astype(jnp.int32),
         res_prim_norm=up(s.res_prim_norm), res_dual_norm=up(s.res_dual_norm),
         res_prim_in_norm=up(s.res_prim_in_norm),
-        res_dual_in_norm=up(s.res_dual_in_norm))
+        res_dual_in_norm=up(s.res_dual_in_norm),
+        warmup_iter=s.iter)  # phase boundary: everything so far was phase 1
     if s.kkt_cache is not None:
         # phase transition: rebuild the incremental-KKT cache in the
         # accurate phase's dtypes

@@ -356,6 +356,10 @@ class SolverState(NamedTuple):
     # (K_tilde, w_applied) with K_tilde = Q + A' diag(w_applied) A in the
     # KKT dtype; None when the feature is off or unsupported
     kkt_cache: object = None
+    # i32 iteration count at the hybrid-warmup phase boundary (0 when
+    # hybrid_warmup is off) — lets per-phase FLOP accounting split the
+    # cheap float32 warmup iterations from the accurate-phase ones
+    warmup_iter: jax.Array = None
 
 
 class Info(NamedTuple):
@@ -372,6 +376,10 @@ class Info(NamedTuple):
     setup_time: jax.Array        # seconds; filled by the stateful API
     solve_time: jax.Array
     run_time: jax.Array
+    # i32 iterations spent in the float32 hybrid-warmup phase (<= iterations;
+    # 0 when hybrid_warmup is off).  TPU extension: feeds per-phase FLOP/MFU
+    # accounting (the warmup skips certificate GEMMs and runs refine_steps=1)
+    warmup_iterations: jax.Array = None
 
     @property
     def status(self):

@@ -2,6 +2,7 @@
 # Round-2-final TPU measurement queue (chip recovered 2026-08-19).
 # ONE TPU process at a time; each job logs to logs/.
 cd /root/repo
+echo $$ > /tmp/tpu_queue6.shpid   # queue7's chaining guard reads this
 
 echo "=== q6 job 0: official bench, polish default, hardened MFU ==="
 timeout 2400 python bench.py > logs/bench_polish_mfufix.log 2>&1

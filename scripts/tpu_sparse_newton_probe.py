@@ -28,6 +28,12 @@ accuracy or the diverging op is on-device):
 CG iteration cap — expected; in the real solver loop CG warm starts and
 the adaptive tolerance keep it effective.  The probe's signal is
 TPU-vs-CPU *agreement* on dx, not the absolute residual.)
+
+NOTE: the pre-hardening 08-19 TPU attempt (logs/tpu_sparse_newton_probe.log,
+dx_norm 4240.7 at n=2000) used *different inputs* — l,u were rng draws then,
+shifting the RNG stream feeding rhs — so that number is NOT comparable to
+the CPU table above despite the near-match; the TPU must be re-run with
+this script.
 """
 import json
 import os
@@ -39,7 +45,11 @@ sys.path.insert(0, "/root/repo")
 
 SIZES = [200, 500, 2000]
 VARIANTS = ["precond_f32", "jacobi"]
-CELL_TIMEOUT_S = float(os.environ.get("QPDO_PROBE_CELL_TIMEOUT", "900"))
+# >= 1500 s: the documented per-program TPU compile time is 10-20 min
+# (CLAUDE.md), so a timeout below that would abort on a healthy-but-slow
+# compile.  A timeout is retried once with double budget (slow compile);
+# only a nonzero EXIT (crash) or a repeated timeout aborts the ladder.
+CELL_TIMEOUT_S = float(os.environ.get("QPDO_PROBE_CELL_TIMEOUT", "1500"))
 
 
 def stamp(phase: str, **kw) -> None:
@@ -114,24 +124,37 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "CELL":
         run_cell(int(sys.argv[2]), sys.argv[3])
         return
+    def attempt(n: int, variant: str, timeout_s: float):
+        """Run one cell subprocess; returns (rc, timed_out)."""
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "CELL",
+             str(n), variant])
+        try:
+            return proc.wait(timeout=timeout_s), False
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            return -1, True
+
     for n in SIZES:
         for variant in VARIANTS:
             stamp("cell_start", n=n, variant=variant,
                   timeout_s=CELL_TIMEOUT_S)
-            proc = subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__), "CELL",
-                 str(n), variant])
-            try:
-                rc = proc.wait(timeout=CELL_TIMEOUT_S)
-            except subprocess.TimeoutExpired:
-                proc.kill()
-                proc.wait()
-                stamp("cell_timeout", n=n, variant=variant)
-                rc = -1
+            rc, timed_out = attempt(n, variant, CELL_TIMEOUT_S)
+            if timed_out:
+                # slow compile, not necessarily a sick device: retry once
+                # with double the budget before concluding anything
+                stamp("cell_timeout", n=n, variant=variant, retrying=True)
+                rc, timed_out = attempt(n, variant, 2 * CELL_TIMEOUT_S)
+                if timed_out:
+                    stamp("cell_timeout", n=n, variant=variant,
+                          retrying=False)
             if rc != 0:
-                stamp("cell_failed", n=n, variant=variant, returncode=rc)
-                # a non-zero exit at a small size means the device is in a
-                # bad state — do not escalate to bigger shapes
+                stamp("cell_failed", n=n, variant=variant, returncode=rc,
+                      timed_out=timed_out)
+                # a crash (nonzero exit) or a repeated timeout at a small
+                # size means the device is in a bad state — do not
+                # escalate to bigger shapes
                 if n < SIZES[-1]:
                     stamp("ladder_aborted", reason="cell failed; not "
                           "escalating to larger n on a sick device")

@@ -20,6 +20,12 @@ MAX_ITER_REACHED = -5
 MAX_TIME_REACHED = -6
 UNSOLVED = -10              # only setup was performed
 ERROR = -99
+# Internal-only (TPU extension, never returned to users): latched inside
+# the hybrid-warmup phase when the mu schedule stalls against the float32
+# mu floor (primal residual plateau across outer updates); upcast_state
+# resets it to UNSOLVED so the accurate phase takes over immediately
+# instead of burning the warmup iteration cap.  See Settings.warmup_stall_exit.
+WARMUP_STALLED = 90
 
 STATUS_STRINGS = {
     SOLVED: "solved",

@@ -422,19 +422,35 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
         jnp.maximum(settings.rho * s.eps_in, 0.1 * eps_abs),
         s.eps_in)
 
+    # ---- warmup stall guard (phase 1 only; Settings.warmup_stall_exit) ----
+    # At an outer boundary, res_prim_old still holds the residual vector of
+    # the PREVIOUS outer update: no sufficient decrease across a full outer
+    # cycle means the mu schedule is pinned at the warmup mu floor and
+    # phase 1 cannot make progress — latch WARMUP_STALLED so upcast_state
+    # hands the problem to the accurate phase now.
+    if settings.stall_exit > 0:
+        prev_rp_norm = tnorm_inf(tmap(jnp.multiply, op.Einv, s.res_prim_old))
+        warmup_stalled = ((s.oter >= 2)
+                          & (res_prim_norm > settings.stall_exit
+                             * prev_rp_norm)
+                          & (res_prim_norm > eps_abs))
+    else:
+        warmup_stalled = jnp.asarray(False)
+
     # =======================================================================
     # Combine branches with masks
     # =======================================================================
     infeasible = prim_inf | dual_inf
     apply_newton = running & ~sub_done
-    apply_outer = running & sub_done & ~infeasible
+    apply_outer = running & sub_done & ~infeasible & ~warmup_stalled
     advance = apply_newton | apply_outer       # i.e. no break this iteration
 
     status_next = jnp.where(
         running,
         jnp.where(sub_done & prim_inf, _c.PRIMAL_INFEASIBLE,
                   jnp.where(sub_done & dual_inf, _c.DUAL_INFEASIBLE,
-                            _c.UNSOLVED)),
+                            jnp.where(sub_done & warmup_stalled,
+                                      _c.WARMUP_STALLED, _c.UNSOLVED))),
         status_opt).astype(jnp.int32)
 
     def pick(newton_val, outer_val, old):
@@ -664,7 +680,8 @@ def warmup_settings(settings: Settings) -> Settings:
         mu_min=max(settings.mu_min, settings.warmup_mu_min),
         eps_prim_inf=0.0, eps_dual_inf=0.0,
         kkt_dtype=None, refine_steps=1, hybrid_warmup=False,
-        matmul_precision=settings.warmup_matmul_precision)
+        matmul_precision=settings.warmup_matmul_precision,
+        stall_exit=settings.warmup_stall_exit)
 
 
 def cast_scaled_problem(sp: ScaledProblem, to_dtype) -> ScaledProblem:
@@ -704,7 +721,9 @@ def upcast_state(op, settings: Settings, s: SolverState) -> SolverState:
     dt = op.dtype
     up = lambda a: tcast(a, dt)
     x, y = up(s.x), up(s.y)
-    status = jnp.where(s.status == _c.SOLVED, _c.UNSOLVED, s.status)
+    status = jnp.where((s.status == _c.SOLVED)
+                       | (s.status == _c.WARMUP_STALLED),
+                       _c.UNSOLVED, s.status)
     out = SolverState(
         x=x, y=y, Qx=op.Qmv(x), Ax=op.Amv(x), Aty=op.Atmv(y),
         dx_prev=up(s.dx_prev), xbar=up(s.xbar), ybar=up(s.ybar), mu=up(s.mu), sigma=up(s.sigma),

@@ -108,6 +108,19 @@ class Settings:
     hybrid_warmup: bool = False
     warmup_eps: float = 1e-3
     warmup_mu_min: float = 1e-4
+    # Warmup stall guard: on chained-constraint families (LISWET-class) the
+    # float32 mu floor (warmup_mu_min) can stall the penalty schedule — the
+    # primal residual plateaus while phase 1 burns its whole iteration cap
+    # (a measured 22x iteration blowup, RESULTS.md dense-family sweep).
+    # At every phase-1 outer update with oter >= 2, if the primal residual
+    # failed to shrink below ``warmup_stall_exit`` times its value at the
+    # previous outer update, the problem exits to the accurate phase
+    # immediately.  0.0 disables (pre-round-3 behaviour).
+    warmup_stall_exit: float = 0.9
+    # INTERNAL: per-phase copy of warmup_stall_exit, nonzero only inside
+    # the phase-1 settings built by warmup_settings() — step() reads this,
+    # so the guard can never fire in a plain (non-hybrid) solve.
+    stall_exit: float = 0.0
     # Warm-start penalty adaptation: scale the initial mu by the warm
     # point's KKT residual, clipped below at warm_mu_scale_min (see
     # solver/core.py init_state).  Near-optimal warm starts (the MPC

@@ -124,12 +124,13 @@ def _free_port() -> int:
     return port
 
 
-def _run_config(nproc: int) -> dict:
+def _run_config(nproc: int, cores_per: "int | None" = None) -> dict:
     here = os.path.abspath(__file__)
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     ncores = os.cpu_count() or 4
-    cores_per = max(1, ncores // max(nproc, 2))
+    if cores_per is None:
+        cores_per = max(1, ncores // max(nproc, 2))
     procs = []
     for pid in range(nproc):
         cmd = [sys.executable, here, "worker", str(pid), str(nproc), port]
@@ -158,18 +159,34 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
         worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
         return 0
-    r1 = _run_config(1)
-    r2 = _run_config(2)
-    eff = r2["iters_per_s"] / (2 * r1["iters_per_s"])
+    # process-count sweep (default 1,2,4).  For comparability every config
+    # pins the SAME core budget per process (sized for the largest config):
+    # otherwise the 1-proc baseline gets more cores per device and the
+    # larger points read core scarcity as communication overhead.
+    procs_list = [int(x) for x in
+                  os.environ.get("QPDO_MH_PROCS", "1,2,4").split(",")]
+    ncores = os.cpu_count() or 4
+    cores_per = max(1, ncores // max(procs_list)) if PIN_CORES else None
+    rates = {}
+    for nproc in procs_list:
+        rates[nproc] = _run_config(nproc, cores_per)["iters_per_s"]
+    base = rates[procs_list[0]] / procs_list[0]
+    effs = {n: round(r / (n * base), 4) for n, r in rates.items()}
+    min_eff = min(e for n, e in effs.items() if n > procs_list[0])
     print(json.dumps({
         "benchmark": "multihost_weak_scaling",
         "platform": f"cpu-sim ({DEV_PER_PROC} virtual devices/process, "
-                    f"{os.cpu_count()} cores, pinned={PIN_CORES})",
-        "rate_1proc": r1["iters_per_s"],
-        "rate_2proc": r2["iters_per_s"],
-        "scaling_efficiency_2proc": round(eff, 4),
+                    f"{os.cpu_count()} cores, pinned={PIN_CORES}, "
+                    f"{cores_per} cores/process)",
+        # per-host load in the record: the efficiency is load-sensitive
+        # (0.48 at B_LOCAL=8 vs 0.90+ at 64, logs/multihost_scaling_r2.log)
+        "b_local": B_LOCAL,
+        "iters": ITERS,
+        **{f"rate_{n}proc": rates[n] for n in procs_list},
+        **{f"scaling_efficiency_{n}proc": effs[n]
+           for n in procs_list if n > procs_list[0]},
         "target": 0.8,
-        "pass": bool(eff >= 0.8),
+        "pass": bool(min_eff >= 0.8),
     }), flush=True)
     return 0
 

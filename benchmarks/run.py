@@ -195,12 +195,17 @@ def bench_structured():
 def generate_suite(out_dir: str, count: int = 12, seed: int = 0) -> None:
     """Generate a local Maros-Mészáros-style QPS suite: random convex QPs of
     assorted sizes, conditioning, sparsity and bound structure, written in
-    QPS format (exercises the full ingest pipeline)."""
+    QPS format (exercises the full ingest pipeline).  Alongside the small
+    dense instances, reference-scale sparse instances (n = 3500-8000, the
+    MM suite's upper size range) are written from the mm_like structured
+    generators — these route through the native sparse parse +
+    ``solve_sparse`` path in bench_maros."""
     import qpdo_tpu as qt
     from qpdo_tpu.io import write_qps
 
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
+    _generate_large_sparse(out_dir, rng, write_qps)
     for k in range(count):
         n = int(rng.integers(20, 150))
         m = int(rng.integers(10, 2 * n))
@@ -227,10 +232,43 @@ def generate_suite(out_dir: str, count: int = 12, seed: int = 0) -> None:
                   name=f"GEN{k:03d}")
 
 
+def _generate_large_sparse(out_dir: str, rng, write_qps) -> None:
+    """Reference-scale sparse QPS instances for the ingest suite (the MM
+    paper benchmarks reach n ~ 1e4; round-2's generated files were n <= 150
+    toys).  Uses the mm_like structured generators so the instances carry
+    real MM-family structure, not just random sparsity."""
+    import scipy.sparse as sps
+
+    from qpdo_tpu.io.qps import QPSData
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mm_like import gen_gouldqp, gen_qband
+
+    def emit(name, Q, q, A, l, u):
+        data = QPSData(Q=sps.csc_matrix(Q), q=np.asarray(q),
+                       A=sps.csc_matrix(A), l=np.asarray(l),
+                       u=np.asarray(u), c=0.0, name=name,
+                       n_structural=Q.shape[0])
+        write_qps(data, os.path.join(out_dir, f"{name.lower()}.qps"),
+                  name=name)
+
+    emit("BIGGQP", *gen_gouldqp(rng, 5000))
+    emit("BIGQBAND", *gen_qband(rng, 5000))
+    # random general sparse at n=8000 (the cg_traj structure, larger)
+    n, m = 8000, 6000
+    B = sps.random(n, n, density=4.0 / n, random_state=31, format="csr")
+    Q = (B.T @ B + 0.1 * sps.eye(n)).tocsr()
+    A = sps.random(m, n, density=6.0 / n, random_state=32, format="csr")
+    emit("BIGRAND", Q, rng.standard_normal(n), A,
+         -rng.random(m), rng.random(m))
+
+
 def bench_maros():
     """Config 4: Maros-Mészáros subset from QPDO_MM_DIR; falls back to a
     generated local QPS suite when the env var is unset (no network in this
-    environment — real MM files drop in via QPDO_MM_DIR)."""
+    environment — real MM files drop in via QPDO_MM_DIR).  Files with
+    n <= QPDO_MM_MAX_N solve dense-batched (bucketed shapes); larger files
+    parse sparse (read_qps_native(dense=False)) and solve one-by-one on the
+    matrix-free sparse path — every solution is oracle-verified host-side."""
     import qpdo_tpu as qt
     from qpdo_tpu.io import read_qps, to_problem
 
@@ -247,28 +285,80 @@ def bench_maros():
     except Exception:
         reader = read_qps
 
+    import scipy.sparse as sps
+
     from qpdo_tpu.utils.padding import solve_heterogeneous
 
     files = sorted(f for f in os.listdir(mm_dir)
                    if f.endswith((".qps", ".QPS", ".qps.gz", ".SIF")))
     max_n = int(os.environ.get("QPDO_MM_MAX_N", 500))
+    sparse_max_n = int(os.environ.get("QPDO_MM_SPARSE_MAX_N", 100_000))
     s = qt.Settings(eps_abs=1e-6, max_iter=2000, inner_max_iter=100,
                     eps_abs_in=0.1, rho=0.02, delta=0.1,
                     refine_steps=2, kkt_dtype="float32", hybrid_warmup=True,
                     mu_min=1e-7)
-    problems = []
+    # TPU-safe sparse-path settings: float32 CG + preconditioner (a
+    # float64 blocked Cholesky on the TPU is the device-crash path)
+    s_sparse = s.replace(max_iter=5000, refine_steps=3,
+                         cg_dtype="float32", precond_dtype="float32",
+                         precond_block=64)
+
+    def _kkt(Qm, qv, Am, lv, uv, x, y):
+        Ax = Am @ x
+        rp = float(np.max(np.abs(Ax - np.clip(Ax + y, lv, uv))))
+        rd = float(np.max(np.abs(Qm @ x + qv + Am.T @ y)))
+        return max(rp, rd)
+
+    dense_probs, dense_data, sparse_jobs = [], [], []
     for f in files:
-        d = reader(os.path.join(mm_dir, f))
-        if d.Q.shape[0] <= max_n:
-            problems.append(to_problem(d))
+        path = os.path.join(mm_dir, f)
+        try:
+            d = reader(path, dense=False)
+        except TypeError:  # pure-Python fallback reader: dense only
+            d = reader(path)
+        n = d.Q.shape[0]
+        if n <= max_n:
+            if sps.issparse(d.Q):
+                d = d.__class__(name=d.name, Q=d.Q.toarray(), q=d.q, c=d.c,
+                                A=d.A.toarray(), l=d.l, u=d.u,
+                                n_structural=d.n_structural)
+            dense_probs.append(to_problem(d))
+            dense_data.append(d)
+        elif n <= sparse_max_n:
+            sparse_jobs.append((f, d))
+    t0 = time.perf_counter()
     # bucketed batched solving keeps the number of compiled shapes small
     # (compiles dominate on this platform: ~10 min per shape)
-    t0 = time.perf_counter()
-    results = solve_heterogeneous(problems, s, n_mult=64, m_mult=64)
+    results = solve_heterogeneous(dense_probs, s, n_mult=64, m_mult=64)
+    solved = 0
+    for r, d in zip(results, dense_data):
+        ok = int(r.info.status_val) == qt.SOLVED
+        if ok:  # trust but verify (demo_mex.m:39-42)
+            ok = _kkt(np.asarray(d.Q), d.q, np.asarray(d.A), d.l, d.u,
+                      np.asarray(r.x), np.asarray(r.y)) < 1e-5
+        solved += ok
+    # reference-scale instances: matrix-free sparse path, one by one
+    sparse_solved = 0
+    for f, d in sparse_jobs:
+        r = qt.solve_sparse(d.Q, d.q, d.A, d.l, d.u, d.c,
+                            settings=s_sparse)
+        ok = int(np.asarray(r.info.status_val)) == qt.SOLVED
+        if ok:
+            ok = _kkt(d.Q.tocsr(), d.q, d.A.tocsr(), d.l, d.u,
+                      np.asarray(r.x), np.asarray(r.y)) < 1e-5
+        sparse_solved += ok
+        print(json.dumps({"file": f, "n": d.Q.shape[0],
+                          "status": int(np.asarray(r.info.status_val)),
+                          "iters": int(r.info.iterations),
+                          "verified": bool(ok)}), flush=True)
     t_total = time.perf_counter() - t0
-    solved = sum(int(r.info.status_val) == qt.SOLVED for r in results)
-    return {"config": "maros", "attempted": len(problems), "solved": solved,
-            "solve_rate": solved / max(len(problems), 1),
+    attempted = len(dense_probs) + len(sparse_jobs)
+    return {"config": "maros", "attempted": attempted,
+            "solved": solved + sparse_solved,
+            "solved_dense": solved, "attempted_dense": len(dense_probs),
+            "solved_sparse": sparse_solved,
+            "attempted_sparse": len(sparse_jobs),
+            "solve_rate": (solved + sparse_solved) / max(attempted, 1),
             "total_time_s": round(t_total, 1),
             "generated_suite": generated}
 

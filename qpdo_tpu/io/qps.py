@@ -270,28 +270,34 @@ def solve_qps_data(data: QPSData, settings=None, dtype=None):
 def write_qps(data_or_problem, path_or_file=None, name: str = "QP") -> str:
     """Write a QP in QPS format (inverse of ``read_qps``).
 
-    Accepts a ``QPSData`` or a solver ``Problem``.  Two-sided rows emit an
+    Accepts a ``QPSData`` or a solver ``Problem``; ``Q``/``A`` may be
+    dense arrays or scipy.sparse matrices (sparse inputs are written by
+    nonzero iteration, so reference-scale n >= 5k instances emit in O(nnz)
+    instead of the former O(n*m) dense scan).  Two-sided rows emit an
     L row plus a RANGES entry; one-sided rows emit L/G; equalities emit E.
     Variables are written as free (the solver's canonical form keeps all
     variable bounds as rows of A).  Returns the text; writes to
     ``path_or_file`` when given."""
     import numpy as _np
+    import scipy.sparse as _sps
+
+    def _mat(M):
+        return M.tocsc() if _sps.issparse(M) else _sps.csc_matrix(
+            _np.asarray(M))
 
     if hasattr(data_or_problem, "n_structural"):
-        Q = _np.asarray(data_or_problem.Q)
-        qv = _np.asarray(data_or_problem.q)
-        A = _np.asarray(data_or_problem.A)
-        l = _np.asarray(data_or_problem.l)
-        u = _np.asarray(data_or_problem.u)
-        c = float(data_or_problem.c)
-        name = data_or_problem.name or name
+        src = data_or_problem
+        c = float(src.c)
+        name = src.name or name
     else:
-        Q = _np.asarray(data_or_problem.Q)
-        qv = _np.asarray(data_or_problem.q)
-        A = _np.asarray(data_or_problem.A)
-        l = _np.asarray(data_or_problem.l)
-        u = _np.asarray(data_or_problem.u)
-        c = float(_np.asarray(data_or_problem.c))
+        src = data_or_problem
+        c = float(_np.asarray(src.c))
+    Q = _mat(src.Q)
+    qv = _np.asarray(src.q)
+    A = _mat(src.A)
+    A.sort_indices()
+    l = _np.asarray(src.l)
+    u = _np.asarray(src.u)
 
     big = 1e19  # treat anything beyond as infinite
     n = Q.shape[0]
@@ -315,9 +321,10 @@ def write_qps(data_or_problem, path_or_file=None, name: str = "QP") -> str:
     for j in range(n):
         if qv[j] != 0.0:
             lines.append(f"    x{j}  obj  {float(qv[j])!r}")
-        for i in range(m):
-            if senses[i] and A[i, j] != 0.0:
-                lines.append(f"    x{j}  r{i}  {float(A[i, j])!r}")
+        for k in range(A.indptr[j], A.indptr[j + 1]):
+            i, v = int(A.indices[k]), float(A.data[k])
+            if senses[i] and v != 0.0:
+                lines.append(f"    x{j}  r{i}  {v!r}")
     lines.append("RHS")
     if c != 0.0:
         lines.append(f"    rhs  obj  {float(-c)!r}")
@@ -335,10 +342,14 @@ def write_qps(data_or_problem, path_or_file=None, name: str = "QP") -> str:
     for j in range(n):
         lines.append(f" FR bnd  x{j}")
     lines.append("QUADOBJ")
+    # upper triangle, row-major (i ascending, then j >= i ascending)
+    Qu = _sps.triu(Q, k=0, format="csr")
+    Qu.sort_indices()
     for i in range(n):
-        for j in range(i, n):
-            if Q[i, j] != 0.0:
-                lines.append(f"    x{i}  x{j}  {float(Q[i, j])!r}")
+        for k in range(Qu.indptr[i], Qu.indptr[i + 1]):
+            j, v = int(Qu.indices[k]), float(Qu.data[k])
+            if v != 0.0:
+                lines.append(f"    x{i}  x{j}  {v!r}")
     lines.append("ENDATA")
     text = "\n".join(lines) + "\n"
     if path_or_file is not None:

@@ -2,11 +2,21 @@
 rank-deficient / equality-heavy / wide-scale) x the sparse settings grid
 (direct-banded vs CG, mixed-precision CG, hybrid warmup, ruiz_kkt), every
 SOLVED claim oracle-verified.  Chunked via FUZZ_LO/FUZZ_HI like
-fuzz_campaign.py."""
+fuzz_campaign.py.
+
+QPDO_FUZZ_PLATFORM=axon runs the campaign on the attached TPU with the
+TPU-safe settings grid (every direct factorization in float32 — a float64
+Cholesky on the axon chip is the documented device-crash path).  Each
+(seed, config) cell is a fresh shape, hence a fresh ~1-2 min TPU compile:
+size the chunk accordingly (FUZZ_LO/FUZZ_HI), e.g. 12 cells ~ 30-60 min."""
+import os
+
 import jax
-jax.config.update("jax_platforms", "cpu")
+
+jax.config.update("jax_platforms",
+                  os.environ.get("QPDO_FUZZ_PLATFORM", "cpu"))
 jax.config.update("jax_enable_x64", True)
-import numpy as np, sys, os, time, traceback
+import numpy as np, sys, time, traceback
 _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _root)
 import scipy.sparse as sps
@@ -52,6 +62,20 @@ GRID = [
     dict(ruiz_kkt=True),
     dict(precond="jacobi", newton_direct=False),
 ]
+if jax.config.jax_platforms not in (None, "cpu"):
+    # same six coverage axes, every factorization (banded direct, block-
+    # Jacobi preconditioner) pinned to float32 + the mu_min>=1e-7 rule
+    GRID = [
+        dict(kkt_dtype="float32", mu_min=1e-7, refine_steps=3),
+        dict(newton_direct=False, precond_dtype="float32", mu_min=1e-7),
+        dict(newton_direct=False, cg_dtype="float32",
+             precond_dtype="float32", mu_min=1e-7),
+        dict(hybrid_warmup=True, warmup_eps=1e-3, cg_dtype="float32",
+             precond_dtype="float32", mu_min=1e-7),
+        dict(ruiz_kkt=True, kkt_dtype="float32", mu_min=1e-7,
+             refine_steps=3),
+        dict(precond="jacobi", newton_direct=False, mu_min=1e-7),
+    ]
 lo = int(os.environ.get("FUZZ_LO", "0")); hi = int(os.environ.get("FUZZ_HI", "60"))
 fails = 0
 t0 = time.time()

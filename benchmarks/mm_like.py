@@ -377,6 +377,9 @@ def main(argv=None):
                     help="equilibrate Q jointly with A (Settings.ruiz_kkt) "
                          "instead of reference-parity A-only Ruiz — the "
                          "scale-stressed families' fix")
+    ap.add_argument("--families", type=str, default="",
+                    help="comma-separated family filter (e.g. "
+                         "QBAND,GOULDQP,CONT for the banded on-TPU run)")
     args = ap.parse_args(argv)
 
     if args.summarize_log:
@@ -417,6 +420,9 @@ def main(argv=None):
 
     rng = np.random.default_rng(42)
     suite = build_suite(rng, args.max_n)
+    if args.families:
+        keep = set(args.families.split(","))
+        suite = [s for s in suite if s[1] in keep]
     if args.start_at:
         suite = suite[args.start_at:]
     if args.count:
@@ -432,6 +438,14 @@ def main(argv=None):
                            inner_max_iter=100, eps_abs_in=0.1,
                            rho=0.02, delta=0.1, max_time=1800.0,
                            precond_block=64, ruiz_kkt=args.ruiz_kkt)
+    if os.environ.get("QPDO_MM_TPU"):
+        # TPU-safe precision: every factorization (banded direct, block-
+        # Jacobi preconditioner) in float32 — a float64 Cholesky on the
+        # axon chip is the documented device-crash path — with float64
+        # state + refinement recovering eps_abs (tpu_banded_cr.py numbers)
+        settings = settings.replace(kkt_dtype="float32", mu_min=1e-7,
+                                    precond_dtype="float32",
+                                    cg_dtype="float32", refine_steps=3)
 
     per_family = {}
     rows = []

@@ -264,7 +264,9 @@ def main():
                            refine_steps=2, kkt_dtype="float32",
                            hybrid_warmup=True, mu_min=1e-7,
                            cert_dtype="float32",
-                           linesearch="bisect", linesearch_dtype="float32",
+                           linesearch=os.environ.get(
+                               "QPDO_BENCH_LINESEARCH", "bisect"),
+                           linesearch_dtype="float32",
                            phase2_gemm_dtype="float32", hard_rows=8,
                            anchor_every=10,
                            newton_full_step=bool(int(

@@ -92,6 +92,11 @@ def validate_settings(s: Settings) -> None:
                          "'float32', or 'float64'")
     if s.banded_algo not in ("auto", "scan", "cr"):
         raise ValueError("banded_algo must be 'auto', 'scan', or 'cr'")
+    if s.linesearch not in ("sort", "bisect", "bisect_chunk"):
+        raise ValueError(
+            "linesearch must be 'sort', 'bisect', or 'bisect_chunk'")
+    if s.warmup_stall_exit < 0 or s.warmup_stall_exit >= 1:
+        raise ValueError("warmup_stall_exit must be in [0, 1) (0 disables)")
     if s.full_step_gamma <= 0:
         raise ValueError("full_step_gamma must be positive")
     if s.kkt_update_rows < 0:

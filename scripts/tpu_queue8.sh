@@ -34,4 +34,14 @@ QPDO_BENCH_KKTROWS=16 timeout 2400 python bench.py \
   > logs/bench_r3_kktrows16.log 2>&1
 tail -1 logs/bench_r3_kktrows16.log
 
+echo "=== q8 job 6: bench linesearch=bisect_chunk (launch-count cut) ==="
+QPDO_BENCH_LINESEARCH=bisect_chunk timeout 2400 python bench.py \
+  > logs/bench_r3_lschunk.log 2>&1
+tail -1 logs/bench_r3_lschunk.log
+
+echo "=== q8 job 7: bench linesearch=sort (f32 sort re-measure) ==="
+QPDO_BENCH_LINESEARCH=sort timeout 2400 python bench.py \
+  > logs/bench_r3_lssort.log 2>&1
+tail -1 logs/bench_r3_lssort.log
+
 echo "=== queue8 done $(date +%H:%M:%S) ==="

@@ -127,6 +127,53 @@ def test_bisect_infinite_bound_breakpoints():
     assert abs(t - 1.0) < 1e-6
 
 
+@pytest.mark.parametrize("seed", range(20))
+def test_bisect_chunk_matches_sort(seed):
+    """The chunked (launch-minimizing) root finder agrees with the scan."""
+    from qpdo_tpu.ops.linesearch import pwa_root_bisect_chunk
+    rng = np.random.default_rng(100 + seed)
+    m2 = 60
+    eta = float(rng.random() + 0.1)
+    delta = rng.standard_normal(m2)
+    alpha = rng.standard_normal(m2)
+    phi0 = phi(0.0, eta, 0.0, delta, alpha)
+    beta = float(-phi0 - rng.random() * 3 - 0.1)
+    t_sort = float(pwa_root(jnp.asarray(eta), jnp.asarray(beta),
+                            jnp.asarray(delta), jnp.asarray(alpha)))
+    t_chunk = float(pwa_root_bisect_chunk(
+        jnp.asarray(eta), jnp.asarray(beta),
+        jnp.asarray(delta), jnp.asarray(alpha)))
+    assert abs(t_chunk - t_sort) <= 1e-9 * max(1.0, abs(t_sort))
+    assert abs(phi(t_chunk, eta, beta, delta, alpha)) < 1e-8
+
+
+def test_bisect_chunk_infinite_bound_breakpoints():
+    from qpdo_tpu.ops.linesearch import pwa_root_bisect_chunk
+    eta = 0.024304976779529953
+    beta = -0.04166319473377218
+    delta = np.array([0.26350118, 0.13175059, -0.26350118, -0.13175059])
+    alpha = np.array([3.16227766e+20, 0.0, 1.58113883e+01, 3.16227766e+20])
+    t = float(pwa_root_bisect_chunk(jnp.asarray(eta), jnp.asarray(beta),
+                                    jnp.asarray(delta), jnp.asarray(alpha)))
+    assert abs(t - 1.0) < 1e-6
+
+
+def test_bisect_chunk_solves_end_to_end():
+    """linesearch='bisect_chunk' reaches 1e-6 with reference iterations."""
+    import qpdo_tpu as qt
+    from utils import kkt_residuals, random_qp
+
+    Q, q, A, l, u = random_qp(40, 60, seed=23)
+    p = qt.make_problem(Q, q, A, l, u)
+    ref = qt.solve(p)
+    res = qt.solve(p, qt.Settings(linesearch="bisect_chunk",
+                                  linesearch_dtype="float32"))
+    assert int(res.info.status_val) == qt.SOLVED
+    rp, rd = kkt_residuals(Q, q, A, l, u, res.x, res.y)
+    assert max(rp, rd) <= 1e-6
+    assert abs(int(res.info.iterations) - int(ref.info.iterations)) <= 5
+
+
 def test_reduced_precision_root_find():
     """linesearch_dtype="float32": solves still reach 1e-6 (tau only needs
     ~sqrt(eps) relative accuracy) with a near-identical iteration count."""

@@ -328,8 +328,16 @@ def bench_maros():
             sparse_jobs.append((f, d))
     t0 = time.perf_counter()
     # bucketed batched solving keeps the number of compiled shapes small
-    # (compiles dominate on this platform: ~10 min per shape)
-    results = solve_heterogeneous(dense_probs, s, n_mult=64, m_mult=64)
+    # (compiles dominate on this platform: ~10 min per shape).
+    # QPDO_MM_ONE_BUCKET=1 pads every instance to one (n, m) shape — a
+    # single compile; the padding FLOPs are trivial next to a compile.
+    if os.environ.get("QPDO_MM_ONE_BUCKET") and dense_probs:
+        nmax = max(int(p.Q.shape[0]) for p in dense_probs)
+        mmax = max(int(p.A.shape[0]) for p in dense_probs)
+        results = solve_heterogeneous(dense_probs, s,
+                                      n_mult=nmax, m_mult=mmax)
+    else:
+        results = solve_heterogeneous(dense_probs, s, n_mult=64, m_mult=64)
     solved = 0
     for r, d in zip(results, dense_data):
         ok = int(r.info.status_val) == qt.SOLVED

@@ -281,8 +281,9 @@ def main():
                                os.environ.get("QPDO_BENCH_POLISH", "1"))))
 
     def run_sync():
-        # straggler compaction: bitwise-identical per-problem results,
-        # the unsolved tail finishes in a B/4 sub-batch
+        # straggler compaction: identical per-problem algorithm decisions
+        # (statuses/iterations; iterates to fp program variation), the
+        # unsolved tail finishes in a B/4 sub-batch
         res = _solve_batch_compact(problems, settings, None, None,
                                    False, False)
         # force full execution via host transfer (block_until_ready is

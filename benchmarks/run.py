@@ -345,6 +345,13 @@ def bench_maros():
             ok = _kkt(np.asarray(d.Q), d.q, np.asarray(d.A), d.l, d.u,
                       np.asarray(r.x), np.asarray(r.y)) < 1e-5
         solved += ok
+    # flush the dense outcome before the sparse jobs: a device crash mid-
+    # sparse must not lose the dense evidence (it did on 2026-08-19)
+    print(json.dumps({"dense_buckets_done": True,
+                      "solved_dense": solved,
+                      "attempted_dense": len(dense_probs),
+                      "t_s": round(time.perf_counter() - t0, 1)}),
+          flush=True)
     # reference-scale instances: matrix-free sparse path, one by one
     sparse_solved = 0
     for f, d in sparse_jobs:

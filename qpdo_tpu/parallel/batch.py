@@ -61,8 +61,13 @@ def _solve_batch_compact(problems: Problem, settings: Settings, x0, y0,
     problem converges.  Here each phase runs full-batch only while more
     than ~1/4 of the problems are active, then repeatedly gathers the
     remaining stragglers into a B/4 sub-batch and finishes them at a
-    quarter of the per-iteration cost.  Exact per-problem semantics are
-    unchanged (states are gathered/scattered whole)."""
+    quarter of the per-iteration cost.  Per-problem *algorithm semantics*
+    are unchanged (states are gathered/scattered whole; the step math,
+    masks, and caps are identical), and in practice statuses and
+    iteration counts match the plain path exactly.  Iterates agree to
+    floating-point program variation: a sub-batch is a differently-shaped
+    XLA program whose reduction vectorization may round f32 sums a ulp
+    differently than the full-batch program."""
     from ..solver import core
     from .. import constants as _c
     import jax.numpy as jnp

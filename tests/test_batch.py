@@ -135,8 +135,19 @@ def test_batch_compact_iter_cap_with_skew():
                                   np.asarray(r2.info.iterations))
     np.testing.assert_array_equal(np.asarray(r1.info.status_val),
                                   np.asarray(r2.info.status_val))
-    np.testing.assert_array_equal(np.nan_to_num(np.asarray(r1.x)),
-                                  np.nan_to_num(np.asarray(r2.x)))
+    # Iterates: solved problems must agree to solver tolerance.  MAX_ITER
+    # problems are compared loosely — when the warmup stall guard skews
+    # phase-1 exits, a straggler can finish its float32 warmup inside a
+    # compacted sub-batch whose XLA program vectorizes f32 reductions
+    # differently from the full-batch program (ulp-level seed), and a
+    # non-converged iterate amplifies that seed; the contract is identical
+    # *decisions* + oracle-verified results, not bitwise iterates across
+    # differently-shaped programs (see _solve_batch_compact docstring).
+    solved = np.asarray(r1.info.status_val) == qt.SOLVED
+    x1 = np.nan_to_num(np.asarray(r1.x))
+    x2 = np.nan_to_num(np.asarray(r2.x))
+    np.testing.assert_allclose(x1[solved], x2[solved], atol=1e-6)
+    np.testing.assert_allclose(x1[~solved], x2[~solved], atol=1e-2)
 
 
 def test_compact_mixed_mode_oracle_verified():

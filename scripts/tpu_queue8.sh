@@ -44,4 +44,30 @@ QPDO_BENCH_LINESEARCH=sort timeout 2400 python bench.py \
   > logs/bench_r3_lssort.log 2>&1
 tail -1 logs/bench_r3_lssort.log
 
+echo "=== q8 job 8 (LAST - crash risk): full BIGRAND n=8000 sparse solve ==="
+timeout 3600 python - > logs/bigrand_tpu_r3.log 2>&1 <<'EOF'
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import qpdo_tpu as qt
+from qpdo_tpu.native import read_qps_native
+d = read_qps_native("benchmarks/generated_suite/bigrand.qps", dense=False)
+s = qt.Settings(eps_abs=1e-6, max_iter=5000, inner_max_iter=100,
+                eps_abs_in=0.1, rho=0.02, delta=0.1, refine_steps=3,
+                kkt_dtype="float32", hybrid_warmup=True, mu_min=1e-7,
+                cg_dtype="float32", precond_dtype="float32",
+                precond_block=64)
+t0 = time.time()
+r = qt.solve_sparse(d.Q, d.q, d.A, d.l, d.u, d.c, settings=s)
+st = int(np.asarray(r.info.status_val))
+x, y = np.asarray(r.x), np.asarray(r.y)
+Q, A = d.Q.tocsr(), d.A.tocsr()
+Ax = A @ x
+rp = float(np.max(np.abs(Ax - np.clip(Ax + y, d.l, d.u))))
+rd = float(np.max(np.abs(Q @ x + d.q + A.T @ y)))
+print({"file": "bigrand", "status": st, "iters": int(r.info.iterations),
+       "rp": rp, "rd": rd, "secs": round(time.time() - t0, 1)}, flush=True)
+EOF
+tail -1 logs/bigrand_tpu_r3.log
+
 echo "=== queue8 done $(date +%H:%M:%S) ==="

@@ -337,6 +337,14 @@ class SparseOperator(NamedTuple):
     bdQ: Any = None
     bdQsub: Any = None
     bd_tmpl: Any = None
+    # Optional ELL (padded-row gather) matvec maps, one per direction
+    # (solver/sparse.py:_ell_maps): (gather, idx, mask) int32/int32/int8
+    # of shape (out_dim, K).  When present, Qmv/Amv/Atmv run as gather +
+    # dense row-sum — no scatter in the CG hot loop (the TPU fast path);
+    # None on irregular patterns (scatter fallback).
+    ellQ: Any = None
+    ellA: Any = None
+    ellAt: Any = None
 
     @property
     def dtype(self):
@@ -363,21 +371,57 @@ class SparseOperator(NamedTuple):
             return out.astype(self.dtype)
         return jnp.zeros((out_dim,), self.dtype).at[rows].add(data * x[cols])
 
+    @staticmethod
+    def _ell_enabled() -> bool:
+        """Trace-time backend gate for the ELL matvec path.
+
+        Scatter-adds are fast on XLA-CPU and the ELL padding/gather costs
+        ~2x there; on TPU the scatter serializes and ELL is the fast path.
+        QPDO_ELL=1/0 forces it either way (tests force 1 on CPU)."""
+        import os
+        v = os.environ.get("QPDO_ELL", "auto")
+        if v in ("1", "0"):
+            return v == "1"
+        return jax.default_backend() != "cpu"
+
+    def _ell_mv(self, data, ell, x, dtype):
+        """out[i] = sum_k data[g[i,k]] * x[idx[i,k]] * mask[i,k] — gather
+        + dense row-sum, no scatter (the TPU fast path)."""
+        g, idx, mask = ell
+        cd = jnp.dtype(dtype) if dtype is not None else self.dtype
+        vals = data[g].astype(cd) * mask.astype(cd)
+        out = (vals * x[idx].astype(cd)).sum(axis=-1)
+        return out.astype(self.dtype)
+
     def Qmv(self, x, dtype=None):
+        if self.ellQ is not None and self._ell_enabled():
+            return self._ell_mv(self.q_data, self.ellQ, x, dtype)
         return self._scatter_mv(self.q_data, self.q_idx[:, 0],
                                 self.q_idx[:, 1], x, self.n, dtype)
 
     def Amv(self, x, dtype=None):
+        if self.ellA is not None and self._ell_enabled():
+            return self._ell_mv(self.a_data, self.ellA, x, dtype)
         return self._scatter_mv(self.a_data, self.a_idx[:, 0],
                                 self.a_idx[:, 1], x, self.m, dtype)
 
     def Atmv(self, y, dtype=None):
         # A' y re-uses the same triplets with roles swapped
+        if self.ellAt is not None and self._ell_enabled():
+            return self._ell_mv(self.a_data, self.ellAt, y, dtype)
         return self._scatter_mv(self.a_data, self.a_idx[:, 1],
                                 self.a_idx[:, 0], y, self.n, dtype)
 
+    def _ell_mv2(self, data, ell, X):
+        g, idx, mask = ell
+        vals = data[g] * mask.astype(self.dtype)         # (out, K)
+        return (vals[..., None] * X[idx, :]).sum(axis=-2)  # (out, 2)
+
     def Amv2(self, xa, xb):
         X = jnp.stack([xa, xb], axis=-1)               # (n, 2)
+        if self.ellA is not None and self._ell_enabled():
+            AV = self._ell_mv2(self.a_data, self.ellA, X)
+            return AV[..., 0], AV[..., 1]
         rows, cols = self.a_idx[:, 0], self.a_idx[:, 1]
         AV = jnp.zeros((self.m, 2), self.dtype).at[rows].add(
             self.a_data[:, None] * X[cols, :])
@@ -385,6 +429,9 @@ class SparseOperator(NamedTuple):
 
     def Atmv2(self, ya, yb):
         Y = jnp.stack([ya, yb], axis=-1)               # (m, 2)
+        if self.ellAt is not None and self._ell_enabled():
+            AtV = self._ell_mv2(self.a_data, self.ellAt, Y)
+            return AtV[..., 0], AtV[..., 1]
         rows, cols = self.a_idx[:, 0], self.a_idx[:, 1]
         AtV = jnp.zeros((self.n, 2), self.dtype).at[cols].add(
             self.a_data[:, None] * Y[rows, :])
@@ -394,9 +441,16 @@ class SparseOperator(NamedTuple):
         """diag(K) in O(nnz) without forming K: diag(Q) + sigma +
         sum_i (active_i/mu_i) * A_{ij}^2 per column j."""
         w = active / mu
-        rows, cols = self.a_idx[:, 0], self.a_idx[:, 1]
-        d = jnp.zeros_like(self.diagQ).at[cols].add(
-            w[rows] * jnp.square(self.a_data))
+        if self.ellAt is not None and self._ell_enabled():
+            # column-grouped gather form (no scatter): the ellAt map's
+            # idx entries are the row of each A entry in column j
+            g, ridx, mask = self.ellAt
+            vals = self.a_data[g] * mask.astype(self.dtype)
+            d = (w[ridx] * jnp.square(vals)).sum(axis=-1)
+        else:
+            rows, cols = self.a_idx[:, 0], self.a_idx[:, 1]
+            d = jnp.zeros_like(self.diagQ).at[cols].add(
+                w[rows] * jnp.square(self.a_data))
         d = d + self.diagQ
         if proximal:
             d = d + sigma

@@ -210,6 +210,49 @@ def _coarse_indices(a_indices, q_indices, n, block: int,
     return pcA, pcQ, jnp.asarray(counts)
 
 
+def _ell_maps(keys_group, keys_other, out_dim: int,
+              cap_width: int = 128, pad_factor: float = 8.0):
+    """Padded-row (ELL) gather maps for one matvec direction (host-side).
+
+    TPU scatter-adds (`.at[rows].add`) serialize badly on the device —
+    they were the dominant cost of the CG hot loop (~3 s per Newton
+    iteration at n=4000, logs/tpu_cg_size_probe_r3.log).  ELL re-expresses
+    the matvec as a *gather* plus a dense row-sum:
+
+        out[i] = sum_k data[gather[i, k]] * x[idx[i, k]] * mask[i, k]
+
+    with every row padded to the max row-degree K — static shapes, no
+    scatters, pure VPU work.  Returns (gather (out,K) i32, idx (out,K)
+    i32, mask (out,K) i8) or ``None`` when the pattern is too irregular
+    (K > cap_width, or padding exceeds ``pad_factor`` x nnz) — callers
+    fall back to the scatter path.
+
+    The maps are pattern-only (int leaves): same-pattern fleets broadcast
+    them while the value arrays vmap, exactly like the pj/pc/bd maps.
+    """
+    g = np.asarray(keys_group, np.int64)
+    nse = len(g)
+    if nse == 0:
+        return None
+    counts = np.bincount(g, minlength=out_dim)
+    K = max(int(counts.max()), 1)
+    if K > cap_width or out_dim * K > pad_factor * nse + out_dim:
+        return None
+    order = np.argsort(g, kind="stable")
+    gs = g[order]
+    starts = np.zeros(out_dim + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = np.arange(nse) - starts[gs]
+    gather = np.zeros((out_dim, K), np.int64)
+    idx = np.zeros((out_dim, K), np.int64)
+    mask = np.zeros((out_dim, K), np.int8)
+    gather[gs, pos] = order
+    idx[gs, pos] = np.asarray(keys_other, np.int64)[order]
+    mask[gs, pos] = 1
+    return (jnp.asarray(gather, jnp.int32), jnp.asarray(idx, jnp.int32),
+            jnp.asarray(mask, jnp.int8))
+
+
 def _banded_indices(a_indices, q_indices, n, max_bw: int = 128,
                     min_block: int = 8, pair_cap_factor: float = 40.0):
     """Precompute block-tridiagonal scatter maps for the banded direct
@@ -402,10 +445,21 @@ def setup_sparse(Q, q, A, l, u, c=0.0, scaling_iters: int = _c.SCALING,
                                                   np.asarray(q_idx),
                                                   n, precond_block)
 
+    # ELL (padded-row gather) matvec maps — the TPU fast path for the CG
+    # loop; None on irregular patterns (scatter fallback)
+    rows_np = np.asarray(a_idx[:, 0])
+    cols_np = np.asarray(a_idx[:, 1])
+    qi_np = np.asarray(q_idx[:, 0])
+    qj_np = np.asarray(q_idx[:, 1])
+    ellQ = _ell_maps(qi_np, qj_np, n)
+    ellA = _ell_maps(rows_np, cols_np, m)
+    ellAt = _ell_maps(cols_np, rows_np, n)
+
     return SparseOperator(
         q_data=q_data_s, q_idx=q_idx, a_data=a_data_s, a_idx=a_idx,
         diagQ=diagQ, q=q_s, l=l_s, u=u_s,
         c=jnp.asarray(c, dtype), D=D, Dinv=one / D, E=E, Einv=one / E,
         cost=cost, cinv=one / cost, l_finite=l_finite, u_finite=u_finite,
         pjA=pjA, pjQ=pjQ, pcA=pcA, pcQ=pcQ, pc_counts=pc_counts,
-        bdA=bdA, bdAsub=bdAsub, bdQ=bdQ, bdQsub=bdQsub, bd_tmpl=bd_tmpl)
+        bdA=bdA, bdAsub=bdAsub, bdQ=bdQ, bdQsub=bdQsub, bd_tmpl=bd_tmpl,
+        ellQ=ellQ, ellA=ellA, ellAt=ellAt)

@@ -579,3 +579,88 @@ def test_sparse_heterogeneous_fleet():
         # padding + union may alter the Newton backend; both solutions
         # are eps-valid, so pin loosely (the oracle above is the gate)
         np.testing.assert_allclose(x, np.asarray(single.x), atol=1e-4)
+
+
+def test_ell_matvecs_match_scipy(monkeypatch):
+    """ELL (padded-row gather) matvecs agree with scipy to f64 roundoff,
+    including empty rows/columns and duplicate-free random patterns.
+    (QPDO_ELL=1 forces the TPU path on this CPU run — the backend gate
+    normally keeps CPU on the faster scatter path.)"""
+    monkeypatch.setenv("QPDO_ELL", "1")
+    rng = np.random.default_rng(77)
+    for trial in range(5):
+        n = int(rng.integers(10, 120))
+        m = int(rng.integers(5, 150))
+        B = sps.random(n, n, density=0.1, random_state=int(trial))
+        Q = (B.T @ B + 0.5 * sps.eye(n)).tocsr()
+        A = sps.random(m, n, density=0.15, random_state=100 + trial,
+                       format="csr")
+        A[rng.integers(0, m)] = 0.0  # an empty row
+        A.eliminate_zeros()
+        op = setup_sparse(Q, rng.standard_normal(n), A,
+                          -np.ones(m), np.ones(m), 0.0, scaling_iters=0,
+                          dtype="float64")
+        assert op.ellA is not None and op.ellAt is not None \
+            and op.ellQ is not None
+        x = rng.standard_normal(n)
+        y = rng.standard_normal(m)
+        np.testing.assert_allclose(np.asarray(op.Qmv(jnp.asarray(x))),
+                                   Q @ x, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(op.Amv(jnp.asarray(x))),
+                                   A @ x, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(op.Atmv(jnp.asarray(y))),
+                                   A.T @ y, rtol=1e-12, atol=1e-12)
+        a2 = op.Amv2(jnp.asarray(x), jnp.asarray(x * 2))
+        np.testing.assert_allclose(np.asarray(a2[1]), A @ (2 * x),
+                                   rtol=1e-12, atol=1e-12)
+        t2 = op.Atmv2(jnp.asarray(y), jnp.asarray(-y))
+        np.testing.assert_allclose(np.asarray(t2[1]), A.T @ (-y),
+                                   rtol=1e-12, atol=1e-12)
+        # diag_K gather form vs direct computation
+        mu = jnp.asarray(rng.random(m) + 0.1)
+        act = jnp.asarray((rng.random(m) < 0.5).astype(np.float64))
+        d = np.asarray(op.diag_K(act, mu, jnp.asarray(0.3), True))
+        w = np.asarray(act) / np.asarray(mu)
+        d_ref = Q.diagonal() + 0.3 + np.asarray(
+            (A.multiply(A)).T @ w).ravel()
+        np.testing.assert_allclose(d, d_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_ell_fallback_on_dense_row(monkeypatch):
+    """A pattern with one dense row exceeds the ELL width cap for A (rows)
+    but keeps the other directions; results match scipy either way."""
+    monkeypatch.setenv("QPDO_ELL", "1")
+    rng = np.random.default_rng(3)
+    n, m = 300, 40
+    A = sps.random(m, n, density=3.0 / n, random_state=9, format="lil")
+    A[0, :] = 1.0  # dense row: K for Amv = n = 300 > cap 128
+    A = A.tocsr()
+    Q = sps.eye(n, format="csr")
+    op = setup_sparse(Q, rng.standard_normal(n), A, -np.ones(m),
+                      np.ones(m), 0.0, scaling_iters=0, dtype="float64")
+    assert op.ellA is None          # width cap exceeded
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(op.Amv(jnp.asarray(x))), A @ x,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_ell_end_to_end_solve(monkeypatch):
+    """Full sparse solve on the forced ELL path: converges and passes the
+    KKT oracle (fp summation order differs from the scatter path, so the
+    trajectory may differ — the oracle is the contract)."""
+    monkeypatch.setenv("QPDO_ELL", "1")
+    rng = np.random.default_rng(21)
+    n, m = 300, 220
+    B = sps.random(n, n, density=4.0 / n, random_state=6, format="csr")
+    Q = (B.T @ B + 0.1 * sps.eye(n)).tocsr()
+    A = sps.random(m, n, density=6.0 / n, random_state=7, format="csr")
+    q = rng.standard_normal(n)
+    l, u = -rng.random(m), rng.random(m)
+    res = qt.solve_sparse(Q, q, A, l, u,
+                          settings=qt.Settings(newton_direct=False,
+                                               mu_min=1e-7))
+    assert int(res.info.status_val) == qt.SOLVED
+    x, y = np.asarray(res.x), np.asarray(res.y)
+    Ax = A @ x
+    assert np.max(np.abs(Ax - np.clip(Ax + y, l, u))) < 1e-6
+    assert np.max(np.abs(Q @ x + q + A.T @ y)) < 1e-6

@@ -47,6 +47,21 @@ def _run_chunk(sp, settings, state, iter_cap):
     return core.run_loop(sp, settings, state, iter_cap)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("settings32", "warm_x", "warm_y"))
+def _init32(op32, settings32, x0, y0, warm_x, warm_y):
+    from ..operators import tcast
+    x032 = None if x0 is None else tcast(x0, jnp.float32)
+    y032 = None if y0 is None else tcast(y0, jnp.float32)
+    return core.init_state(op32, settings32, x032, y032, warm_x, warm_y)
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _upcast_polish(sp, settings, state):
+    s = core.upcast_state(sp, settings, state)
+    return core.polish_state(sp, settings, s)
+
+
 @functools.partial(jax.jit, static_argnames=("settings",))
 def _step(sp, settings, state):
     return core.step(sp, settings, state)
@@ -86,9 +101,30 @@ def solve_driven(sp: ScaledProblem, settings: Settings, x0, y0,
     printing/timeout layered on from the host.  Single problem only — for
     batches use the fully-jitted path.
     """
-    s = _init(sp, settings, x0, y0, warm_x, warm_y)
     verbose = settings.verbose
     timed_out = False
+
+    hybrid = (settings.hybrid_warmup
+              and core.as_operator(sp).dtype != jnp.float32)
+    if hybrid:
+        # drive the float32 warmup in chunks too: a one-shot jitted
+        # _warmup_pass runs up to max_iter/2 iterations that max_time
+        # cannot interrupt (hours on slow paths — seen on the on-TPU
+        # sparse fuzz campaign); here the same wall clock bounds phase 1
+        op32 = core.as_operator(sp).cast(jnp.float32)
+        s32_settings = core.warmup_settings(settings)
+        s = _init32(op32, s32_settings, x0, y0, warm_x, warm_y)
+        wcap = core.warmup_iter_cap(settings)
+        while int(s.status) == _c.UNSOLVED and int(s.iter) < wcap:
+            cap = min(int(s.iter) + _TIME_CHUNK, wcap)
+            s = _run_chunk(op32, s32_settings, s,
+                           jnp.asarray(cap, jnp.int32))
+            if time.perf_counter() - t_start > settings.max_time:
+                timed_out = True
+                break
+        s = _upcast_polish(sp, settings, s)
+    else:
+        s = _init(sp, settings, x0, y0, warm_x, warm_y)
 
     # the single-step verbose loop bypasses run_loop's nested anchoring, so
     # re-anchor from the host at the same cadence in mixed-GEMM mode
@@ -97,7 +133,8 @@ def solve_driven(sp: ScaledProblem, settings: Settings, x0, y0,
     if verbose:
         printing.print_header()
         prev = s
-        while int(s.status) == _c.UNSOLVED and int(s.iter) < settings.max_iter:
+        while (not timed_out and int(s.status) == _c.UNSOLVED
+               and int(s.iter) < settings.max_iter):
             prev = s
             s = _step(sp, settings, s)
             if mixed and int(s.iter) % settings.anchor_every == 0:
@@ -117,7 +154,8 @@ def solve_driven(sp: ScaledProblem, settings: Settings, x0, y0,
                 timed_out = True
                 break
     else:
-        while int(s.status) == _c.UNSOLVED and int(s.iter) < settings.max_iter:
+        while (not timed_out and int(s.status) == _c.UNSOLVED
+               and int(s.iter) < settings.max_iter):
             cap = min(int(s.iter) + _TIME_CHUNK, settings.max_iter)
             s = _run_chunk(sp, settings, s, jnp.asarray(cap, jnp.int32))
             if time.perf_counter() - t_start > settings.max_time:

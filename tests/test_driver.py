@@ -64,3 +64,17 @@ def test_verbose_mixed_mode_anchored(capsys):
     rp, rd = kkt_residuals(Q, q, A, l, u, np.asarray(res.x),
                            np.asarray(res.y))
     assert rp < 1e-6 and rd < 1e-6
+
+
+def test_max_time_interrupts_hybrid_warmup():
+    """max_time bounds phase 1 too: the float32 warmup is chunk-driven in
+    solve_driven (round 3 — previously one jitted _warmup_pass of up to
+    max_iter/2 iterations that the clock could not interrupt)."""
+    Q, q, A, l, u = random_qp(100, 150, seed=4)
+    s = qt.Settings(hybrid_warmup=True, mu_min=1e-7, max_iter=20000,
+                    max_time=1e-6)
+    res = qt.solve(qt.make_problem(Q, q, A, l, u), s)
+    assert int(res.info.status_val) == qt.MAX_TIME_REACHED
+    # stopped within the first warmup chunk (+ a few upcast bookkeeping
+    # iterations), nowhere near the 10000-iteration warmup cap
+    assert int(res.info.iterations) <= 64

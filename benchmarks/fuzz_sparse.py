@@ -82,10 +82,17 @@ t0 = time.time()
 for seed in range(lo, hi):
     rng = np.random.default_rng(70000 + seed)
     Q, q, A, l, u = gen(rng)
+    # stamped start line (flushed): on-TPU a cell is a multi-minute fresh
+    # compile — without this the log is silent for ~10 cells and looks hung
+    print(f"cell seed={seed} cfg={seed % len(GRID)} n={Q.shape[0]} "
+          f"m={A.shape[0]} t={time.time()-t0:.0f}s", flush=True)
     s = qt.Settings(max_iter=20000, max_time=300.0, **GRID[seed % len(GRID)])
     try:
         res = qt.solve_sparse(Q, q, A, l, u, settings=s, dtype="float64")
         st = int(res.info.status_val)
+        print(f"done seed={seed} status={st} "
+              f"iters={int(res.info.iterations)} t={time.time()-t0:.0f}s",
+              flush=True)
         if st == qt.SOLVED:
             x, y = np.asarray(res.x), np.asarray(res.y)
             Ax = np.asarray(A @ x)

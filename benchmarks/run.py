@@ -298,10 +298,14 @@ def bench_maros():
                     refine_steps=2, kkt_dtype="float32", hybrid_warmup=True,
                     mu_min=1e-7)
     # TPU-safe sparse-path settings: float32 CG + preconditioner (a
-    # float64 blocked Cholesky on the TPU is the device-crash path)
+    # float64 blocked Cholesky on the TPU is the device-crash path).
+    # max_time forces host-driven 32-iteration chunking: a fully-jitted
+    # multi-minute sparse solve streamed as ONE device execution crashed
+    # the axon worker twice (BIGRAND n=8000, logs/maros_tpu_r3.log,
+    # logs/bigrand_tpu_r3.log); chunked runs of the same machinery survive
     s_sparse = s.replace(max_iter=5000, refine_steps=3,
                          cg_dtype="float32", precond_dtype="float32",
-                         precond_block=64)
+                         precond_block=64, max_time=1500.0)
 
     def _kkt(Qm, qv, Am, lv, uv, x, y):
         Ax = Am @ x

@@ -277,6 +277,8 @@ def main():
                                "QPDO_BENCH_WARMUP_PREC", "highest"),
                            kkt_update_rows=int(
                                os.environ.get("QPDO_BENCH_KKTROWS", "0")),
+                           warmup_refine_steps=int(
+                               os.environ.get("QPDO_BENCH_WREFINE", "1")),
                            polish=bool(int(
                                os.environ.get("QPDO_BENCH_POLISH", "1"))))
 
@@ -352,7 +354,7 @@ def main():
 
     def total(certs_in_phase2: bool) -> float:
         f = B * warm_iters * flops_per_iteration(
-            n, m, 1, settings.kkt_update_rows,
+            n, m, settings.warmup_refine_steps, settings.kkt_update_rows,
             settings.anchor_every, with_certs=False)
         f += B * p2_iters * flops_per_iteration(
             n, m, settings.refine_steps, settings.kkt_update_rows,

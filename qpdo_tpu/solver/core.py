@@ -679,7 +679,8 @@ def warmup_settings(settings: Settings) -> Settings:
         eps_abs=settings.warmup_eps,
         mu_min=max(settings.mu_min, settings.warmup_mu_min),
         eps_prim_inf=0.0, eps_dual_inf=0.0,
-        kkt_dtype=None, refine_steps=1, hybrid_warmup=False,
+        kkt_dtype=None, refine_steps=settings.warmup_refine_steps,
+        hybrid_warmup=False,
         matmul_precision=settings.warmup_matmul_precision,
         stall_exit=settings.warmup_stall_exit)
 

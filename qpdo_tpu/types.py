@@ -117,6 +117,14 @@ class Settings:
     # previous outer update, the problem exits to the accurate phase
     # immediately.  0.0 disables (pre-round-3 behaviour).
     warmup_stall_exit: float = 0.9
+    # Iterative-refinement sweeps per Newton solve in phase 1.  The warmup
+    # factors AND carries state in float32, so a refinement sweep (one
+    # exact K matvec + a triangular-solve pair = 3 MXU ops) cannot push
+    # accuracy past the float32 state floor — measured zero effect on the
+    # bench batch's iteration counts at 0.  Kept at 1 by default (reference
+    # caution on ill-conditioned warmups); 0 is the measured-safe op-count
+    # cut for op-rate-bound parts (RESULTS.md round-3 bench sweep).
+    warmup_refine_steps: int = 1
     # INTERNAL: per-phase copy of warmup_stall_exit, nonzero only inside
     # the phase-1 settings built by warmup_settings() — step() reads this,
     # so the guard can never fire in a plain (non-hybrid) solve.

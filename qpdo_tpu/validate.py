@@ -97,6 +97,8 @@ def validate_settings(s: Settings) -> None:
             "linesearch must be 'sort', 'bisect', or 'bisect_chunk'")
     if s.warmup_stall_exit < 0 or s.warmup_stall_exit >= 1:
         raise ValueError("warmup_stall_exit must be in [0, 1) (0 disables)")
+    if s.warmup_refine_steps < 0:
+        raise ValueError("warmup_refine_steps must be nonnegative")
     if s.full_step_gamma <= 0:
         raise ValueError("full_step_gamma must be positive")
     if s.kkt_update_rows < 0:

@@ -292,7 +292,14 @@ def bench_maros():
     files = sorted(f for f in os.listdir(mm_dir)
                    if f.endswith((".qps", ".QPS", ".qps.gz", ".SIF")))
     max_n = int(os.environ.get("QPDO_MM_MAX_N", 500))
-    sparse_max_n = int(os.environ.get("QPDO_MM_SPARSE_MAX_N", 100_000))
+    # default sparse-size cap on the axon worker: the BIGRAND n=8000
+    # sustained-CG solve crashed it 4x on 2026-08-19 (fully-jitted AND
+    # host-chunked; results are correct whenever it completes — a platform
+    # fault, logs/bigrand_*_tpu*.log).  n <= 6000 ran clean repeatedly.
+    # Override with QPDO_MM_SPARSE_MAX_N; CPU keeps the full range.
+    import jax
+    default_cap = 6000 if jax.default_backend() not in ("cpu",) else 100_000
+    sparse_max_n = int(os.environ.get("QPDO_MM_SPARSE_MAX_N", default_cap))
     s = qt.Settings(eps_abs=1e-6, max_iter=2000, inner_max_iter=100,
                     eps_abs_in=0.1, rho=0.02, delta=0.1,
                     refine_steps=2, kkt_dtype="float32", hybrid_warmup=True,

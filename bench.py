@@ -277,8 +277,13 @@ def main():
                                "QPDO_BENCH_WARMUP_PREC", "highest"),
                            kkt_update_rows=int(
                                os.environ.get("QPDO_BENCH_KKTROWS", "0")),
+                           # 0 measured: iteration-neutral on this family
+                           # (CPU B=64 identical 57.38) and +5.9% QPs/s on
+                           # the op-rate-bound chip (RESULTS.md round 3);
+                           # the library default stays 1 (fuzz shows hard
+                           # instances can pay iterations for the cut)
                            warmup_refine_steps=int(
-                               os.environ.get("QPDO_BENCH_WREFINE", "1")),
+                               os.environ.get("QPDO_BENCH_WREFINE", "0")),
                            polish=bool(int(
                                os.environ.get("QPDO_BENCH_POLISH", "1"))))
 

@@ -664,3 +664,30 @@ def test_ell_end_to_end_solve(monkeypatch):
     Ax = A @ x
     assert np.max(np.abs(Ax - np.clip(Ax + y, l, u))) < 1e-6
     assert np.max(np.abs(Q @ x + q + A.T @ y)) < 1e-6
+
+
+def test_ell_fleet_union_pattern(monkeypatch):
+    """Forced-ELL mixed-pattern fleet: the pattern-only gather/mask maps
+    broadcast under vmap while values stack — per-instance results match
+    per-instance solves and the oracle."""
+    monkeypatch.setenv("QPDO_ELL", "1")
+    rng = np.random.default_rng(13)
+    n, m, B = 60, 45, 3
+    probs = []
+    for b in range(B):
+        Bm = sps.random(n, n, density=0.15, random_state=50 + b,
+                        format="csr")
+        Qb = (Bm.T @ Bm + 0.3 * sps.eye(n)).tocsr()
+        Ab = sps.random(m, n, density=0.2, random_state=80 + b,
+                        format="csr")
+        Ab.data[:] = rng.standard_normal(Ab.nnz)
+        probs.append((Qb, rng.standard_normal(n), Ab,
+                      -np.ones(m), np.ones(m)))
+    res = qt.solve_sparse_batch(probs)  # mixed patterns -> union rebuild
+    for b in range(B):
+        assert int(res.info.status_val[b]) == qt.SOLVED
+        Qb, qb, Ab, lb, ub = probs[b]
+        x, y = np.asarray(res.x[b]), np.asarray(res.y[b])
+        Ax = Ab @ x
+        assert np.max(np.abs(Ax - np.clip(Ax + y, lb, ub))) < 1e-6
+        assert np.max(np.abs(Qb @ x + qb + Ab.T @ y)) < 1e-6

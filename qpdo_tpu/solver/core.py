@@ -246,6 +246,14 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
     # Everything dividing by mu (A dx -> dy, newton.c:60-63) or feeding the
     # eps-relative infeasibility tests stays in the state dtype.
     kdt = jnp.dtype(settings.kkt_dtype) if settings.kkt_dtype else dt
+    # Reduced-precision CACHE-feeding matvecs (Qdx for the Qx cache, the
+    # rhs A'ytilde) are only safe on operators with the anchored
+    # re-exactification machinery (DenseOperator.Amv_mixed et al.): on
+    # matrix-free operators the increments would accumulate unmanaged
+    # drift — measured fatal on scale-stressed data (internal rd 1e-8 vs
+    # true 1.4e-3, CVXQP1S with kkt_dtype=float32) — and their O(nnz)
+    # exact cost is negligible next to the CG solve they feed.
+    ckdt = kdt if hasattr(op, "Amv_mixed") else dt
     # anchored phase 2: reduced-precision A-GEMMs with exact hard rows
     # (Settings.phase2_gemm_dtype); certificates default to the same dtype
     mixed = (settings.phase2_gemm_dtype is not None
@@ -255,7 +263,7 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
     cert_dt = settings.cert_dtype or settings.phase2_gemm_dtype
     cdt = jnp.dtype(cert_dt) if cert_dt else dt
     split_certs = check_inf and cdt != dt
-    At_ytilde = op.Atmv(ytilde, dtype=kdt)
+    At_ytilde = op.Atmv(ytilde, dtype=ckdt)
     rhs = tmap(lambda rd, aty: -(rd + aty), res_dual_in, At_ytilde)
     if s.kkt_cache is not None and hasattr(op, "newton_solve_cached"):
         dx, kkt_cache_new = op.newton_solve_cached(
@@ -264,7 +272,7 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
         dx = op.newton_solve(active, s.mu, sigma, rhs, settings,
                              dx_prev=s.dx_prev, tol_hint=s.eps_in)
         kkt_cache_new = s.kkt_cache
-    Qdx_pure = op.Qmv(dx, dtype=kdt)
+    Qdx_pure = op.Qmv(dx, dtype=ckdt)
     if mixed:
         Adx = op.Amv_mixed(dx, s.mu, settings.hard_rows, pdt)
         if check_inf:

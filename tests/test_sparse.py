@@ -691,3 +691,37 @@ def test_ell_fleet_union_pattern(monkeypatch):
         Ax = Ab @ x
         assert np.max(np.abs(Ax - np.clip(Ax + y, lb, ub))) < 1e-6
         assert np.max(np.abs(Qb @ x + qb + Ab.T @ y)) < 1e-6
+
+
+def test_kkt_dtype_f32_cache_honesty_on_stressed_scale():
+    """Regression (round 3): with kkt_dtype='float32' on the sparse path,
+    the Qx-cache increments must stay exact — reduced-precision cache
+    matvecs silently drifted the internal residual accounting on
+    scale-stressed data (internal rd 1e-8 vs true 1.4e-3, CVXQP1S).  The
+    host-side oracle is the contract."""
+    rng = np.random.default_rng(5)
+    n, m = 100, 150
+    M = rng.standard_normal((n, n))
+    Q = sps.csr_matrix(M @ M.T / n + 0.1 * np.eye(n))
+    A = sps.csr_matrix(rng.standard_normal((m, n)))
+    q = rng.standard_normal(n)
+    l, u = -rng.random(m), rng.random(m)
+    # scale stress: rows/cols spanning ~6 decades (mm_like apply_scale_stress)
+    rs = 10.0 ** rng.uniform(-3, 3, m)
+    cs = 10.0 ** rng.uniform(-3, 3, n)
+    A = sps.diags(rs) @ A @ sps.diags(cs)
+    Q = sps.diags(cs) @ Q @ sps.diags(cs)
+    q = q * cs
+    l, u = l * rs, u * rs
+    s = qt.Settings(eps_abs=1e-6, max_iter=5000, inner_max_iter=100,
+                    eps_abs_in=0.1, rho=0.02, delta=0.1, ruiz_kkt=True,
+                    kkt_dtype="float32", mu_min=1e-7, refine_steps=3,
+                    cg_dtype="float32", precond_dtype="float32")
+    res = qt.solve_sparse(Q.tocsr(), q, A.tocsr(), l, u, settings=s)
+    assert int(res.info.status_val) == qt.SOLVED
+    x, y = np.asarray(res.x), np.asarray(res.y)
+    Ax = A @ x
+    rp = np.max(np.abs(Ax - np.clip(Ax + y, l, u)))
+    rd = np.max(np.abs(Q @ x + q + A.T @ y))
+    # the internal claim and the true residual must agree (10x-eps oracle)
+    assert rp < 1e-5 and rd < 1e-5

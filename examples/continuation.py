@@ -63,6 +63,11 @@ def main():
     settings = qt.Settings(eps_abs=1e-6, max_iter=100000,
                            inner_max_iter=100, eps_abs_in=0.1,
                            rho=0.2, delta=1e-4, theta=0.9)
+    if os.environ.get("QPDO_EX_TPU"):
+        # TPU-safe: float32 banded factorization (f64 Cholesky crashes the
+        # device, CLAUDE.md) + f64 state/refinement; mu_min>=1e-7 rule
+        settings = settings.replace(kkt_dtype="float32", mu_min=1e-7,
+                                    refine_steps=3)
 
     # refine_final: a warm fine level can stop with the not-yet-recentered
     # proximal term sigma*(x - xbar) still inside its residual estimate

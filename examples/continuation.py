@@ -65,9 +65,12 @@ def main():
                            rho=0.2, delta=1e-4, theta=0.9)
     if os.environ.get("QPDO_EX_TPU"):
         # TPU-safe: float32 banded factorization (f64 Cholesky crashes the
-        # device, CLAUDE.md) + f64 state/refinement; mu_min>=1e-7 rule
+        # device, CLAUDE.md) + f64 state/refinement; mu_min>=1e-7 rule.
+        # max_time forces host-chunked driving (32-iteration device
+        # executions): the 2026-08-19 worker crashes under multi-minute
+        # single executions of any kind (RESULTS.md crash class).
         settings = settings.replace(kkt_dtype="float32", mu_min=1e-7,
-                                    refine_steps=3)
+                                    refine_steps=3, max_time=3600.0)
 
     # refine_final: a warm fine level can stop with the not-yet-recentered
     # proximal term sigma*(x - xbar) still inside its residual estimate

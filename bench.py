@@ -190,7 +190,10 @@ def _wait_for_queue_idle(max_wait_s: "float | None" = None) -> None:
     # the queue scripts' job commands (not their idle backend probes,
     # which exit as soon as the chip answers)
     job_markers = (b"bench.py", b"tpu_sparse_newton_probe", b"cg_traj",
-                   b"benchmarks/run.py")
+                   b"benchmarks/run.py", b"mm_like.py", b"fuzz_sparse.py",
+                   b"tpu_banded_cr", b"tpu_cg_size_probe",
+                   b"examples/continuation.py",
+                   b"tpu_pallas_residuals_bench")
 
     def queue_active() -> bool:
         for pid in os.listdir("/proc"):

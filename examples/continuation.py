@@ -76,11 +76,13 @@ def main():
     # proximal term sigma*(x - xbar) still inside its residual estimate
     # (reference termination semantics); the flag oracle-checks the finest
     # level and warm re-solves once (~1 iteration) when needed.
+    def progress(i, r):
+        print(f"  n={levels[i]:6d}: {r.info.status:10s} "
+              f"{int(r.info.iterations):6d} iters", flush=True)
+
     ladder = qt.solve_continuation(problems, settings, prolong=prolong,
                                    dtype="float64", return_all=True,
-                                   refine_final=True)
-    for n, r in zip(levels, ladder):
-        print(f"  n={n:6d}: {r.info.status:10s} {int(r.info.iterations):6d} iters")
+                                   refine_final=True, progress=progress)
 
     res = ladder[-1]
     Q, q, A, l, u = problems[-1]

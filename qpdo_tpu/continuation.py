@@ -99,7 +99,8 @@ def solve_continuation(problems: Sequence,
                        prolong: Optional[Callable] = None,
                        dtype=None,
                        return_all: bool = False,
-                       refine_final: bool = False):
+                       refine_final: bool = False,
+                       progress: Optional[Callable] = None):
     """Solve a coarse-to-fine ladder of QPs, warm-starting each level.
 
     ``problems``: one entry per level.  Each entry is either a dense
@@ -145,6 +146,10 @@ def solve_continuation(problems: Sequence,
             res = solve_sparse(Q, q, A, l, u, c, settings=settings,
                                x0=x0, y0=y0, dtype=dtype)
         results.append(res)
+        if progress is not None:
+            # per-level hook so long ladders leave evidence as they go
+            # (a device fault mid-ladder must not erase finished levels)
+            progress(i, res)
         if i + 1 < len(problems):
             x, y = np.asarray(res.x), np.asarray(res.y)
             if prolong is None:

@@ -24,7 +24,23 @@ from ..types import Result, ScaledProblem, Settings
 from ..utils import printing
 from . import core
 
-_TIME_CHUNK = 32  # iterations between wall-clock checks
+_TIME_CHUNK = 32  # initial iterations between wall-clock checks
+# Adaptive chunk bounds: on the axon frontend each host sync costs
+# ~seconds, so a fixed 32-iteration chunk makes cheap-iteration solves
+# (banded large-n ladders) sync-bound — the n=90k ladder timed out at
+# 100 min.  Chunks grow while executions stay short and shrink when they
+# exceed the target, keeping each device execution well under the
+# worker's multi-minute-execution crash threshold (RESULTS.md).
+_CHUNK_MAX = 2048
+_CHUNK_TARGET_S = 20.0
+
+
+def _adapt_chunk(chunk: int, exec_s: float) -> int:
+    if exec_s < 0.25 * _CHUNK_TARGET_S:
+        return min(chunk * 2, _CHUNK_MAX)
+    if exec_s > 2.0 * _CHUNK_TARGET_S:
+        return max(_TIME_CHUNK, chunk // 2)
+    return chunk
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "warm_x", "warm_y"))
@@ -115,10 +131,13 @@ def solve_driven(sp: ScaledProblem, settings: Settings, x0, y0,
         s32_settings = core.warmup_settings(settings)
         s = _init32(op32, s32_settings, x0, y0, warm_x, warm_y)
         wcap = core.warmup_iter_cap(settings)
+        chunk = _TIME_CHUNK
         while int(s.status) == _c.UNSOLVED and int(s.iter) < wcap:
-            cap = min(int(s.iter) + _TIME_CHUNK, wcap)
+            cap = min(int(s.iter) + chunk, wcap)
+            t_c = time.perf_counter()
             s = _run_chunk(op32, s32_settings, s,
                            jnp.asarray(cap, jnp.int32))
+            chunk = _adapt_chunk(chunk, time.perf_counter() - t_c)
             if time.perf_counter() - t_start > settings.max_time:
                 timed_out = True
                 break
@@ -154,10 +173,13 @@ def solve_driven(sp: ScaledProblem, settings: Settings, x0, y0,
                 timed_out = True
                 break
     else:
+        chunk = _TIME_CHUNK
         while (not timed_out and int(s.status) == _c.UNSOLVED
                and int(s.iter) < settings.max_iter):
-            cap = min(int(s.iter) + _TIME_CHUNK, settings.max_iter)
+            cap = min(int(s.iter) + chunk, settings.max_iter)
+            t_c = time.perf_counter()
             s = _run_chunk(sp, settings, s, jnp.asarray(cap, jnp.int32))
+            chunk = _adapt_chunk(chunk, time.perf_counter() - t_c)
             if time.perf_counter() - t_start > settings.max_time:
                 timed_out = True
                 break

@@ -760,8 +760,20 @@ class SparseOperator(NamedTuple):
                     Kv = Kv + sigma * v
                 return Kv
 
+            # monotone safeguard (mirrors ops/linalg.newton_system_solve):
+            # an unstable factor amplifies Richardson refinement
+            # explosively — measured on a deep float32 cyclic-reduction
+            # factorization at cond(K) ~ 1/mu_min = 1e7 (LISWET level 704,
+            # dual residual 1e12 after 3 unguarded sweeps; the "scan"
+            # factorization of the same system stays stable).  Keep the
+            # better iterate by true residual instead.
+            r = rhs - Kmv(dx)
             for _ in range(settings.refine_steps):
-                dx = dx + solve(rhs - Kmv(dx))
+                dx_new = dx + solve(r)
+                r_new = rhs - Kmv(dx_new)
+                better = jnp.linalg.norm(r_new) < jnp.linalg.norm(r)
+                dx = jnp.where(better, dx_new, dx)
+                r = jnp.where(better, r_new, r)
         finite = jnp.all(jnp.isfinite(dx))
         return jnp.where(finite, dx, jnp.zeros_like(dx))
 

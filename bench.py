@@ -63,11 +63,34 @@ def polish_flops(n: int, m: int, refine_steps: int) -> float:
     return lu + solves + refine_mv + verify
 
 
-def measure_peak_tflops(reps: int = 3, size: int = 4096) -> dict:
+def measure_peak_tflops(reps: int = 3, size: int = 4096,
+                        bench_shape: "tuple | None" = (256, 100, 150)) -> dict:
     """Measured matmul peak of the attached chip, f32-highest (the solver's
-    arithmetic mode) and bf16 (the hardware's nominal fast path)."""
+    arithmetic mode) and bf16 (the hardware's nominal fast path).
+
+    Also probes a *bench-shaped* batched GEMM (``f32_bench_shape``): the
+    solver's dominant op is the KKT formation A'(w∘A) — a (B, n, m) @
+    (B, m, n) batched matmul at n=100/m=150, not one huge square GEMM.
+    The 4096² probe measured BELOW the solver's own FLOP rate in every
+    round-3 run (`peak_floored_from_solver` fired 100%), i.e. it is an
+    unrepresentative shape for this chip state; the bench-shaped probe
+    gives the MFU denominator a measurement at the shape that actually
+    runs (round-3 verdict item 7)."""
     import jax
     import jax.numpy as jnp
+
+    def _time_best(f, args, flops):
+        r = f(*args)
+        np.asarray(r).ravel()[0]  # compile + warm; sync via host transfer
+        # best-of-reps: host contention on the shared axon frontend can
+        # inflate any single rep ~2x; the min estimates the uncontended cost
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = f(*args)
+            np.asarray(r).ravel()[0]  # sync via host transfer (axon quirk)
+            best = min(best, time.perf_counter() - t0)
+        return flops / best / 1e12
 
     out = {}
     for name, dtype, prec in (("f32_highest", jnp.float32, "highest"),
@@ -75,21 +98,22 @@ def measure_peak_tflops(reps: int = 3, size: int = 4096) -> dict:
         a = jnp.ones((size, size), dtype)
         b = jnp.ones((size, size), dtype)
 
-        def mm(a, b):
-            with jax.default_matmul_precision(prec):
+        def mm(a, b, _prec=prec):
+            with jax.default_matmul_precision(_prec):
                 return a @ b
 
-        f = jax.jit(mm)
-        np.asarray(f(a, b))[0, 0]  # compile + warm
-        # best-of-reps: host contention on the shared axon frontend can
-        # inflate any single rep ~2x; the min estimates the uncontended cost
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            r = f(a, b)
-            np.asarray(r)[0, 0]  # sync via host transfer (axon quirk)
-            best = min(best, time.perf_counter() - t0)
-        out[name] = 2.0 * size ** 3 / best / 1e12
+        out[name] = _time_best(jax.jit(mm), (a, b), 2.0 * size ** 3)
+
+    if bench_shape is not None:
+        B, n, m = bench_shape
+        a = jnp.ones((B, m, n), jnp.float32)
+
+        def formation(a):
+            with jax.default_matmul_precision("highest"):
+                return jnp.einsum("bmn,bmk->bnk", a, a)
+
+        out["f32_bench_shape"] = _time_best(
+            jax.jit(formation), (a,), 2.0 * B * m * n * n)
     return out
 
 
@@ -376,18 +400,44 @@ def main():
     total_flops_lower = total(False)
     achieved_tflops = total_flops / dt / 1e12
     lower_tflops = total_flops_lower / dt / 1e12
-    # the solver's own lower-bound FLOP rate is evidence of what the chip
-    # can do: if every peak probe landed in contended windows and reads
-    # below it, USE the floored value for the MFU denominator — but report
-    # the raw probes and the floored value as separate fields
-    peak_floored = peak["f32_highest"] < lower_tflops
-    peak_used = max(peak["f32_highest"], lower_tflops)
+    # the MFU denominator is the best measured probe across BOTH shapes
+    # (square 4096² and the bench-shaped batched formation GEMM — the
+    # square probe alone undershot the solver in 100% of round-3 runs).
+    # Only if every probe still reads below the solver's own lower-bound
+    # FLOP rate is the denominator floored — reported as separate fields,
+    # never overwriting a measurement.
+    peak_probe = max(peak["f32_highest"], peak.get("f32_bench_shape", 0.0))
+    peak_floored = peak_probe < lower_tflops
+    peak_used = max(peak_probe, lower_tflops)
     mfu_raw = achieved_tflops / peak_used
     mfu_lower = lower_tflops / peak_used
     # with-certs numerator over a lower-bound-floored denominator can
     # read > 1; that is probe undershoot, not >100% utilization — clamp
     # and flag rather than print an impossible number
     mfu = min(mfu_raw, 1.0)
+
+    # the bench default (warmup_refine_steps=0, +5.9% measured) differs
+    # from the library default (1, fuzz-conservative): measure the
+    # library-default config too when asked, and always record the drift
+    # field so the headline is never silently a non-default config
+    qps_libdefault = None
+    if (settings.warmup_refine_steps != 1
+            and os.environ.get("QPDO_BENCH_LIBDEFAULT", "0") == "1"):
+        settings_lib = settings.replace(warmup_refine_steps=1)
+
+        def run_lib():
+            r = _solve_batch_compact(problems, settings_lib, None, None,
+                                     False, False)
+            np.asarray(r.info.status_val)
+            return r
+
+        run_lib()  # compile
+        lib_times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run_lib()
+            lib_times.append(time.perf_counter() - t0)
+        qps_libdefault = B / min(lib_times)
 
     baseline = 10_000.0  # north-star QPs/s/chip (BASELINE.json)
     print(json.dumps({
@@ -404,14 +454,20 @@ def main():
         "achieved_tflops_lower": round(lower_tflops, 4),
         "peak_tflops_f32_highest": round(peak["f32_highest"], 3),
         "peak_tflops_bf16": round(peak["bf16"], 3),
+        "peak_bench_shape_tflops": round(peak.get("f32_bench_shape", 0.0), 3),
         "peak_pre_tflops_f32": round(peak_pre["f32_highest"], 3),
         "peak_post_tflops_f32": round(peak_post["f32_highest"], 3),
+        "peak_pre_bench_shape": round(peak_pre.get("f32_bench_shape", 0.0), 3),
+        "peak_post_bench_shape": round(peak_post.get("f32_bench_shape", 0.0), 3),
         "peak_used_tflops": round(peak_used, 3),
         "mfu": round(mfu, 4),
         "mfu_lower": round(mfu_lower, 4),
         "oracle_verified_fraction": round(oracle_ok, 4),
         "oracle_max_res": round(float(max(rp.max(), rd.max())), 9),
         "timing_spread": round(max(times) / min(times), 3),
+        "warmup_refine_steps": settings.warmup_refine_steps,
+        **({"value_library_default": round(qps_libdefault, 2)}
+           if qps_libdefault is not None else {}),
         **({"peak_floored_from_solver": True} if peak_floored else {}),
         **({"mfu_clamped_probe_undershoot": round(mfu_raw, 4)}
            if mfu_raw > 1.0 else {}),

@@ -321,6 +321,7 @@ def bench_maros():
         return max(rp, rd)
 
     dense_probs, dense_data, sparse_jobs = [], [], []
+    skipped_large = []
     for f in files:
         path = os.path.join(mm_dir, f)
         try:
@@ -337,6 +338,14 @@ def bench_maros():
             dense_data.append(d)
         elif n <= sparse_max_n:
             sparse_jobs.append((f, d))
+        else:
+            # no silent caps: a size-capped run must not read as full
+            # coverage (the default cap drops BIGRAND n=8000 on non-CPU
+            # backends — see the crash-class note above)
+            skipped_large.append({"file": f, "n": int(n)})
+    if skipped_large:
+        print(json.dumps({"skipped_for_size": skipped_large,
+                          "sparse_max_n": sparse_max_n}), flush=True)
     t0 = time.perf_counter()
     # bucketed batched solving keeps the number of compiled shapes small
     # (compiles dominate on this platform: ~10 min per shape).
@@ -386,6 +395,8 @@ def bench_maros():
             "attempted_sparse": len(sparse_jobs),
             "solve_rate": (solved + sparse_solved) / max(attempted, 1),
             "total_time_s": round(t_total, 1),
+            "skipped_large": len(skipped_large),
+            "sparse_max_n": sparse_max_n,
             "generated_suite": generated}
 
 

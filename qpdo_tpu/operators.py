@@ -371,19 +371,6 @@ class SparseOperator(NamedTuple):
             return out.astype(self.dtype)
         return jnp.zeros((out_dim,), self.dtype).at[rows].add(data * x[cols])
 
-    @staticmethod
-    def _ell_enabled() -> bool:
-        """Trace-time backend gate for the ELL matvec path.
-
-        Scatter-adds are fast on XLA-CPU and the ELL padding/gather costs
-        ~2x there; on TPU the scatter serializes and ELL is the fast path.
-        QPDO_ELL=1/0 forces it either way (tests force 1 on CPU)."""
-        import os
-        v = os.environ.get("QPDO_ELL", "auto")
-        if v in ("1", "0"):
-            return v == "1"
-        return jax.default_backend() != "cpu"
-
     def _ell_mv(self, data, ell, x, dtype):
         """out[i] = sum_k data[g[i,k]] * x[idx[i,k]] * mask[i,k] — gather
         + dense row-sum, no scatter (the TPU fast path)."""
@@ -394,20 +381,20 @@ class SparseOperator(NamedTuple):
         return out.astype(self.dtype)
 
     def Qmv(self, x, dtype=None):
-        if self.ellQ is not None and self._ell_enabled():
+        if self.ellQ is not None:
             return self._ell_mv(self.q_data, self.ellQ, x, dtype)
         return self._scatter_mv(self.q_data, self.q_idx[:, 0],
                                 self.q_idx[:, 1], x, self.n, dtype)
 
     def Amv(self, x, dtype=None):
-        if self.ellA is not None and self._ell_enabled():
+        if self.ellA is not None:
             return self._ell_mv(self.a_data, self.ellA, x, dtype)
         return self._scatter_mv(self.a_data, self.a_idx[:, 0],
                                 self.a_idx[:, 1], x, self.m, dtype)
 
     def Atmv(self, y, dtype=None):
         # A' y re-uses the same triplets with roles swapped
-        if self.ellAt is not None and self._ell_enabled():
+        if self.ellAt is not None:
             return self._ell_mv(self.a_data, self.ellAt, y, dtype)
         return self._scatter_mv(self.a_data, self.a_idx[:, 1],
                                 self.a_idx[:, 0], y, self.n, dtype)
@@ -419,7 +406,7 @@ class SparseOperator(NamedTuple):
 
     def Amv2(self, xa, xb):
         X = jnp.stack([xa, xb], axis=-1)               # (n, 2)
-        if self.ellA is not None and self._ell_enabled():
+        if self.ellA is not None:
             AV = self._ell_mv2(self.a_data, self.ellA, X)
             return AV[..., 0], AV[..., 1]
         rows, cols = self.a_idx[:, 0], self.a_idx[:, 1]
@@ -429,7 +416,7 @@ class SparseOperator(NamedTuple):
 
     def Atmv2(self, ya, yb):
         Y = jnp.stack([ya, yb], axis=-1)               # (m, 2)
-        if self.ellAt is not None and self._ell_enabled():
+        if self.ellAt is not None:
             AtV = self._ell_mv2(self.a_data, self.ellAt, Y)
             return AtV[..., 0], AtV[..., 1]
         rows, cols = self.a_idx[:, 0], self.a_idx[:, 1]
@@ -441,7 +428,7 @@ class SparseOperator(NamedTuple):
         """diag(K) in O(nnz) without forming K: diag(Q) + sigma +
         sum_i (active_i/mu_i) * A_{ij}^2 per column j."""
         w = active / mu
-        if self.ellAt is not None and self._ell_enabled():
+        if self.ellAt is not None:
             # column-grouped gather form (no scatter): the ellAt map's
             # idx entries are the row of each A entry in column j
             g, ridx, mask = self.ellAt
@@ -646,7 +633,7 @@ class SparseOperator(NamedTuple):
         return solve
 
     @staticmethod
-    def _banded_factor_cr(D, E):
+    def _banded_factor_cr(D, E, max_levels: int = 0):
         """Block cyclic reduction: eliminate the odd-indexed blocks at
         every level (each level is one *batched* Cholesky + batched b x b
         GEMMs over ~k/2 blocks), halving the system until one block
@@ -657,15 +644,29 @@ class SparseOperator(NamedTuple):
         CR on an SPD block-tridiagonal matrix is exact block Gaussian
         elimination under the odd-even (nested-dissection) permutation:
         every eliminated pivot block is a principal submatrix of a Schur
-        complement of an SPD matrix, hence SPD itself — stable, no
-        pivoting needed.  Returns solve(rb: (nb, b)) -> (nb, b)."""
+        complement of an SPD matrix, hence SPD itself — stable in exact
+        arithmetic, no pivoting needed.  In *float32* the story has a
+        depth dimension: every level's Schur update D_e -= E D_o^{-1} E'
+        re-rounds the pivot blocks, and the perturbations compound
+        multiplicatively across the ~log2(nb) levels — at cond(K) ~ 1e7
+        (mu_min ~ 1e-7 schedules) a full-depth f32 CR factor becomes
+        unstable enough that even safeguarded refinement cannot converge,
+        while the sequential scan factorization of the same system stays
+        usable (RESULTS.md "level-704", reproduced on CPU).
+
+        ``max_levels`` bounds the compounding: CR eliminates for at most
+        that many levels (2^max_levels-fold reduction — the bulk of the
+        batched-MXU win), then the stable scan factorization finishes the
+        coarse remainder.  0 reduces all the way down (the pure-CR
+        variant).  Returns solve(rb: (nb, b)) -> (nb, b)."""
         chs = lambda L, X: jax.scipy.linalg.solve_triangular(
             L, jax.scipy.linalg.solve_triangular(L, X, lower=True),
             lower=True, trans=1)
         zblk = jnp.zeros_like(D[:1])
 
         levels = []
-        while D.shape[0] > 1:
+        while D.shape[0] > 1 and (max_levels <= 0
+                                  or len(levels) < max_levels):
             k = D.shape[0]
             no, ne = k // 2, k - k // 2
             # odd blocks j = 2t+1, t = 0..no-1; kept evens i = 2e
@@ -692,7 +693,13 @@ class SparseOperator(NamedTuple):
             Enew = -(Ej @ Ua)[: ne - 1]
             levels.append((Lo, Ua, Ub, Ejm1, Ej, k, no, ne))
             D, E = Dnew, Enew
-        Lfin = jnp.linalg.cholesky(D[0])
+        if D.shape[0] == 1:
+            Lfin = jnp.linalg.cholesky(D[0])
+            coarse_solve = lambda r: chs(Lfin, r[0][:, None])[:, 0][None]
+        else:
+            # depth limit hit: finish the coarse remainder with the
+            # sequential (stable) scan factorization
+            coarse_solve = SparseOperator._banded_factor_scan(D, E)
 
         def solve(rb):
             rs_odd = []
@@ -706,7 +713,7 @@ class SparseOperator(NamedTuple):
                 rnew = rnew.at[:no].add(
                     -(jnp.swapaxes(Ejm1, -1, -2) @ yo[..., None])[..., 0])
                 r = rnew
-            x = chs(Lfin, r[0][:, None])[:, 0][None]           # (1, b)
+            x = coarse_solve(r)                               # (kc, b)
             for (Lo, Ua, Ub, Ejm1, Ej, k, no, ne), yo in zip(
                     reversed(levels), reversed(rs_odd)):
                 xe = x                                         # (ne, b)
@@ -729,7 +736,25 @@ class SparseOperator(NamedTuple):
         algorithms (Settings.banded_algo): "scan" (sequential block
         Cholesky, O(nb) depth — CPU) and "cr" (block cyclic reduction,
         O(log nb) depth of batched MXU ops — TPU); "auto" picks by
-        backend at trace time."""
+        backend at trace time.
+
+        The CR path carries an ACCURACY-GATED SCAN FALLBACK
+        (Settings.banded_cr_fallback_rtol): in float32 at cond(K) ~ 1e7
+        (aggressive mu schedules) the CR Schur updates
+        D_e -= E D_o^{-1} E' cancel catastrophically on specific
+        active-set configurations — the blocks are O(1/mu) while the
+        complement is O(1), so f32 roundoff leaves O(1) *relative* error
+        — and the resulting direction is garbage (measured along the real
+        LISWET level-704 trajectory: direction error O(1)-NaN at a few
+        iterations, at ANY CR depth, while the sequential scan stays at
+        ~5e-2; scripts/cr_traj_diag.py).  The gate measures the true
+        refined residual of the CR solve (one O(nnz) matvec it already
+        pays) and only on failure re-solves with the scan factorization
+        inside a ``lax.cond`` — log-depth speed on the common path,
+        scan robustness on the rare cancellation step.  NaN residuals
+        fail the gate by construction.  (Under vmap the cond lowers to a
+        select and both paths execute — batched banded fleets pay the
+        scan cost; set banded_cr_fallback_rtol=0 there if measured.)"""
         dt = self.dtype
         nb, b = self.bd_tmpl.shape
         n = self.n
@@ -740,40 +765,59 @@ class SparseOperator(NamedTuple):
         algo = settings.banded_algo
         if algo == "auto":
             algo = "scan" if jax.default_backend() == "cpu" else "cr"
-        factor = (self._banded_factor_cr if algo == "cr"
-                  else self._banded_factor_scan)
-        block_solve = factor(D, E)
 
-        def solve(r):
-            r = r.astype(kdt)
-            rp = jnp.concatenate([r, jnp.zeros((pad,), kdt)]) if pad else r
-            z = block_solve(rp.reshape(nb, b)).reshape(-1).astype(dt)
-            return z[:n] if pad else z
+        proximal = settings.proximal
 
-        dx = solve(rhs)
-        if settings.refine_steps > 0:
-            proximal = settings.proximal
+        def Kmv(v):
+            Kv = self.Qmv(v) + self.Atmv(w * self.Amv(v))
+            if proximal:
+                Kv = Kv + sigma * v
+            return Kv
 
-            def Kmv(v):
-                Kv = self.Qmv(v) + self.Atmv(w * self.Amv(v))
-                if proximal:
-                    Kv = Kv + sigma * v
-                return Kv
+        def run(block_solve):
+            """Solve + monotone-safeguarded refinement with one factor.
 
-            # monotone safeguard (mirrors ops/linalg.newton_system_solve):
-            # an unstable factor amplifies Richardson refinement
-            # explosively — measured on a deep float32 cyclic-reduction
-            # factorization at cond(K) ~ 1/mu_min = 1e7 (LISWET level 704,
-            # dual residual 1e12 after 3 unguarded sweeps; the "scan"
-            # factorization of the same system stays stable).  Keep the
-            # better iterate by true residual instead.
+            The safeguard mirrors ops/linalg.newton_system_solve: an
+            unstable factor amplifies Richardson refinement explosively
+            (measured rd 1e12 after 3 unguarded sweeps, RESULTS.md
+            "level-704") — keep the better iterate by true residual.
+            Returns (dx, ||rhs - K dx||)."""
+            def solve(r):
+                r = r.astype(kdt)
+                rp = (jnp.concatenate([r, jnp.zeros((pad,), kdt)])
+                      if pad else r)
+                z = block_solve(rp.reshape(nb, b)).reshape(-1).astype(dt)
+                return z[:n] if pad else z
+
+            dx = solve(rhs)
             r = rhs - Kmv(dx)
+            rn = jnp.linalg.norm(r)
             for _ in range(settings.refine_steps):
                 dx_new = dx + solve(r)
                 r_new = rhs - Kmv(dx_new)
-                better = jnp.linalg.norm(r_new) < jnp.linalg.norm(r)
+                rn_new = jnp.linalg.norm(r_new)
+                better = rn_new < rn
                 dx = jnp.where(better, dx_new, dx)
                 r = jnp.where(better, r_new, r)
+                rn = jnp.where(better, rn_new, rn)
+            return dx, rn
+
+        if algo == "cr":
+            dx, rn = run(self._banded_factor_cr(
+                D, E, settings.banded_cr_levels))
+            rtol = settings.banded_cr_fallback_rtol
+            if rtol > 0:
+                rhs_n = jnp.maximum(jnp.linalg.norm(rhs),
+                                    jnp.asarray(1e-30, dt))
+                ok = rn <= rtol * rhs_n          # False on NaN -> fallback
+
+                def scan_fallback(_):
+                    dx2, _ = run(self._banded_factor_scan(D, E))
+                    return dx2
+
+                dx = jax.lax.cond(ok, lambda _: dx, scan_fallback, None)
+        else:
+            dx, _ = run(self._banded_factor_scan(D, E))
         finite = jnp.all(jnp.isfinite(dx))
         return jnp.where(finite, dx, jnp.zeros_like(dx))
 

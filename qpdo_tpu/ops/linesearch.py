@@ -181,8 +181,9 @@ def pwa_root_bisect(eta, beta, delta, alpha, iters: int = 48):
 
 def pwa_root_bisect_chunk(eta, beta, delta, alpha,
                           K: int = 32, passes: int = 4):
-    """Chunked variant of ``pwa_root_bisect``: same root, ~8x fewer
-    sequential device steps.
+    """Chunked variant of ``pwa_root_bisect``: ~8x fewer sequential
+    device steps; exact once the final bracket is inside one affine
+    segment (the common case), bracket-bounded error otherwise.
 
     The scalar bisection serializes ~88 tiny kernels per call (40 bracket
     growths + 48 safeguarded steps), each a launch on the device runtime —
@@ -262,4 +263,11 @@ def pwa_root_bisect_chunk(eta, beta, delta, alpha,
         t = t_new
     a, b = coeffs(t)
     cand = -b / jnp.where(a != 0, a, one)
-    return jnp.where(jnp.isfinite(cand), cand, t)
+    # The segment-Newton root is exact only once the bracket sits inside
+    # one affine segment of phi.  With clustered breakpoints (or the
+    # contingency 4^40-wide tier-2 bracket) four K-fold refinements may
+    # leave the bracket straddling segments, and -b/a can land outside
+    # [lo, hi] entirely — clamp to the bracket, whose midpoint costs
+    # O(width^2) merit (phi convex, phi(lo) < 0 <= phi(hi)).
+    cand_ok = jnp.isfinite(cand) & (cand >= lo) & (cand <= hi)
+    return jnp.where(cand_ok, cand, jnp.clip(t, lo, hi))

@@ -210,6 +210,21 @@ def _coarse_indices(a_indices, q_indices, n, block: int,
     return pcA, pcQ, jnp.asarray(counts)
 
 
+def _ell_enabled() -> bool:
+    """Setup-time backend gate for the ELL matvec path.
+
+    Scatter-adds are fast on XLA-CPU and the ELL padding/gather costs
+    ~2x there; on TPU the scatter serializes and ELL is the fast path.
+    QPDO_ELL=1/0 forces it either way (tests force 1 on CPU).  Resolved
+    once per setup_sparse call — the result is baked into the operator
+    (ell maps present vs None), never read inside traced code."""
+    import os
+    v = os.environ.get("QPDO_ELL", "auto")
+    if v in ("1", "0"):
+        return v == "1"
+    return jax.default_backend() != "cpu"
+
+
 def _ell_maps(keys_group, keys_other, out_dim: int,
               cap_width: int = 128, pad_factor: float = 8.0):
     """Padded-row (ELL) gather maps for one matvec direction (host-side).
@@ -446,14 +461,20 @@ def setup_sparse(Q, q, A, l, u, c=0.0, scaling_iters: int = _c.SCALING,
                                                   n, precond_block)
 
     # ELL (padded-row gather) matvec maps — the TPU fast path for the CG
-    # loop; None on irregular patterns (scatter fallback)
-    rows_np = np.asarray(a_idx[:, 0])
-    cols_np = np.asarray(a_idx[:, 1])
-    qi_np = np.asarray(q_idx[:, 0])
-    qj_np = np.asarray(q_idx[:, 1])
-    ellQ = _ell_maps(qi_np, qj_np, n)
-    ellA = _ell_maps(rows_np, cols_np, m)
-    ellAt = _ell_maps(cols_np, rows_np, n)
+    # loop; None on irregular patterns (scatter fallback).  The backend
+    # choice is resolved HERE, at setup time, so it is carried by the
+    # operator's pytree structure (maps present vs None) and therefore by
+    # every jit cache key — reading QPDO_ELL inside traced code could
+    # silently reuse an executable compiled under the other value.
+    ellQ = ellA = ellAt = None
+    if _ell_enabled():
+        rows_np = np.asarray(a_idx[:, 0])
+        cols_np = np.asarray(a_idx[:, 1])
+        qi_np = np.asarray(q_idx[:, 0])
+        qj_np = np.asarray(q_idx[:, 1])
+        ellQ = _ell_maps(qi_np, qj_np, n)
+        ellA = _ell_maps(rows_np, cols_np, m)
+        ellAt = _ell_maps(cols_np, rows_np, n)
 
     return SparseOperator(
         q_data=q_data_s, q_idx=q_idx, a_data=a_data_s, a_idx=a_idx,

@@ -231,6 +231,25 @@ class Settings:
     # reduction (O(log nb) depth of batched MXU block ops, ~2x flops — the
     # TPU-native variant), "auto" = pick by backend at trace time.
     banded_algo: str = "auto"
+    # Depth limit of the cyclic-reduction factorization (0 = reduce all
+    # the way to one block): CR eliminates for at most this many levels,
+    # then the sequential scan factorization finishes the coarse
+    # remainder.  A perf knob, NOT a stability knob: the level-704
+    # divergence was measured at EVERY depth (the unstable Schur
+    # cancellation happens in the first levels; scripts/cr_traj_diag.py)
+    # — stability comes from banded_cr_fallback_rtol below.  0 keeps the
+    # full O(log nb) depth, the TPU-optimal choice.
+    banded_cr_levels: int = 0
+    # Accuracy gate on the CR direction (0 disables): when the refined
+    # CR solve's true relative residual exceeds this, the Newton solve
+    # re-runs with the scan factorization inside a lax.cond.  In float32
+    # at cond(K) ~ 1e7 the CR Schur updates cancel catastrophically on
+    # specific active-set configurations (O(1/mu) blocks, O(1)
+    # complement) at ANY depth, while the scan degrades gracefully —
+    # measured along the real LISWET level-704 trajectory (RESULTS.md
+    # round 4).  The gate costs one O(nnz) matvec the refinement already
+    # pays; the scan branch executes only on the rare cancellation step.
+    banded_cr_fallback_rtol: float = 1e-3
     # Two-level preconditioning: add a coarse-grid correction
     # (piecewise-constant aggregates of precond_block columns, dense
     # coarse factor) on top of block-Jacobi — removes the low-frequency

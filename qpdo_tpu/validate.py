@@ -2,14 +2,23 @@
 
 Mirrors the reference guard layer (src/validate.c:9-170): data validation
 checks only ``l <= u`` elementwise; settings validation range-checks every
-field.  Raises ``ValueError`` instead of returning FALSE.
+field.  Raises ``ValueError`` instead of returning FALSE.  Beyond the
+reference, ``validate_settings`` also WARNS on documented-fatal setting
+combinations (the docs/DEPLOY.md precision rules made code), so a user
+cannot silently configure a known divergence class.
 """
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from .types import Problem, Settings
+
+
+class UnsafeSettingsWarning(UserWarning):
+    """A settings combination documented to diverge or crash the device."""
 
 
 def validate_data(problem: Problem) -> None:
@@ -92,6 +101,11 @@ def validate_settings(s: Settings) -> None:
                          "'float32', or 'float64'")
     if s.banded_algo not in ("auto", "scan", "cr"):
         raise ValueError("banded_algo must be 'auto', 'scan', or 'cr'")
+    if s.banded_cr_levels < 0:
+        raise ValueError("banded_cr_levels must be nonnegative (0 = full depth)")
+    if s.banded_cr_fallback_rtol < 0:
+        raise ValueError(
+            "banded_cr_fallback_rtol must be nonnegative (0 disables)")
     if s.linesearch not in ("sort", "bisect", "bisect_chunk"):
         raise ValueError(
             "linesearch must be 'sort', 'bisect', or 'bisect_chunk'")
@@ -109,3 +123,51 @@ def validate_settings(s: Settings) -> None:
         raise ValueError("polish_delta must be positive")
     if s.polish_refine < 0:
         raise ValueError("polish_refine must be nonnegative")
+    _warn_unsafe_combos(s)
+
+
+def _warn_unsafe_combos(s: Settings) -> None:
+    """Warn on measured-fatal combinations (RESULTS.md / docs/DEPLOY.md).
+
+    The reference's guard layer only range-checks scalars
+    (validate.c:34-170); these cross-field rules come from this
+    framework's own measurements and previously lived only in docs —
+    a user could silently configure a known divergence class."""
+    if s.kkt_dtype == "float32" and s.mu_min < 1e-7:
+        warnings.warn(
+            "kkt_dtype='float32' with mu_min < 1e-7: a float32 "
+            "factorization cannot carry cond(K) ~ 1/mu beyond ~1e7 — "
+            "the dual step divides by mu and amplifies factor noise "
+            "explosively (RESULTS.md 'level-704').  Set mu_min >= 1e-7 "
+            "(>= 1e-6 for aggressive mu schedules) or keep the "
+            "factorization in float64 (kkt_dtype=None).",
+            UnsafeSettingsWarning, stacklevel=3)
+    if (s.kkt_dtype == "float32" and s.banded_algo in ("cr", "auto")
+            and s.banded_cr_fallback_rtol == 0 and s.mu_min < 1e-6):
+        warnings.warn(
+            "banded_algo='cr' with the accuracy gate disabled "
+            "(banded_cr_fallback_rtol=0), a float32 factorization, and "
+            "mu_min < 1e-6: float32 cyclic reduction suffers "
+            "catastrophic Schur-update cancellation at cond(K) ~ 1e7 on "
+            "specific active-set configurations, at any depth "
+            "(RESULTS.md 'level-704').  Keep the gate on (default "
+            "1e-3), use banded_algo='scan', or raise mu_min.",
+            UnsafeSettingsWarning, stacklevel=3)
+
+
+def warn_device_unsafe(s: Settings, state_dtype, backend: str) -> None:
+    """Device-specific guard, called by setup paths that know the state
+    dtype and backend: a float64 ``jnp.linalg.cholesky`` on the TPU is a
+    measured device-crash path (CLAUDE.md rule) — the factorization must
+    stay in float32 (kkt_dtype / precond_dtype) with float64 reserved for
+    state and refinement."""
+    if backend == "cpu":
+        return
+    if str(state_dtype) == "float64" and s.kkt_dtype in (None, "float64"):
+        warnings.warn(
+            f"float64 Cholesky factorizations on backend '{backend}' "
+            "crash the device (measured; CLAUDE.md).  Set "
+            "kkt_dtype='float32' (dense/banded path) or "
+            "precond_dtype='float32' (sparse preconditioner); float64 "
+            "remains the state/refinement dtype.",
+            UnsafeSettingsWarning, stacklevel=3)

@@ -725,3 +725,72 @@ def test_kkt_dtype_f32_cache_honesty_on_stressed_scale():
     rd = np.max(np.abs(Q @ x + q + A.T @ y))
     # the internal claim and the true residual must agree (10x-eps oracle)
     assert rp < 1e-5 and rd < 1e-5
+
+
+def _liswet(n, d):
+    """min 0.5||x - d||^2  s.t.  x_i - 2 x_{i+1} + x_{i+2} >= 0
+    (examples/continuation.py) — the banded active-set-wavefront family."""
+    Q = sps.eye(n, format="csr") * (1.0 + 1e-3)
+    m = n - 2
+    rows = np.repeat(np.arange(m), 3)
+    cols = (np.arange(m)[:, None] + np.array([0, 1, 2])[None, :]).ravel()
+    vals = np.tile(np.array([1.0, -2.0, 1.0]), m)
+    A = sps.csr_matrix((vals, (rows, cols)), shape=(m, n))
+    return Q, -d, A, np.zeros(m), np.full(m, np.inf)
+
+
+def test_cr_gated_fallback_survives_level704_conditioning():
+    """Regression pin for RESULTS.md "level-704": float32 cyclic
+    reduction suffers catastrophic Schur-update cancellation at
+    cond(K) ~ 1e7 on specific active-set configurations (at ANY depth,
+    scripts/cr_traj_diag.py) — the accuracy-gated scan fallback
+    (Settings.banded_cr_fallback_rtol) must carry the solve anyway,
+    matching the scan iteration class.  This exact configuration
+    (aggressive ladder schedule, mu_min=1e-7, kkt_dtype=float32,
+    banded_algo="cr") diverged to rd ~ 36-1e12 before round 4."""
+    rng = np.random.default_rng(42)
+    nlvl = 704
+    t = np.linspace(0, 1, nlvl)
+    d = np.sin(4 * np.pi * t) + 0.1 * rng.standard_normal(nlvl)
+    Q, q, A, l, u = _liswet(nlvl, np.interp(t, t, d))
+    s = qt.Settings(eps_abs=1e-6, max_iter=3000, inner_max_iter=100,
+                    eps_abs_in=0.1, rho=0.2, delta=1e-4, theta=0.9,
+                    kkt_dtype="float32", mu_min=1e-7, refine_steps=3,
+                    banded_algo="cr")
+    res = qt.solve_sparse(Q, q, A, l, u, settings=s)
+    assert int(res.info.status_val) == qt.SOLVED
+    # scan class is ~940 iterations; the gated CR must not crawl
+    assert int(res.info.iterations) < 1500
+    x, y = np.asarray(res.x), np.asarray(res.y)
+    Ax = A @ x
+    assert np.max(np.abs(Ax - np.clip(Ax + y, l, u))) < 1e-5
+    assert np.max(np.abs(Q @ x + q + A.T @ y)) < 1e-5
+
+
+def test_cr_without_gate_warns_on_aggressive_mu():
+    """validate_settings must flag the documented-fatal combo (round-3
+    verdict item 5): float32 CR with the accuracy gate disabled and an
+    aggressive mu floor cannot be configured silently."""
+    import warnings as _w
+
+    from qpdo_tpu.validate import UnsafeSettingsWarning, validate_settings
+
+    s = qt.Settings(kkt_dtype="float32", mu_min=1e-7, banded_algo="cr",
+                    banded_cr_fallback_rtol=0.0)
+    with pytest.warns(UnsafeSettingsWarning, match="cyclic reduction"):
+        validate_settings(s)
+    # the default configuration (gate on) must be warning-free
+    s_ok = qt.Settings(kkt_dtype="float32", mu_min=1e-7)
+    with _w.catch_warnings():
+        _w.simplefilter("error", UnsafeSettingsWarning)
+        validate_settings(s_ok)
+
+
+def test_f32_kkt_with_tiny_mu_warns():
+    """kkt_dtype=float32 + mu_min < 1e-7 is the documented divergence
+    class (a float32 factor cannot carry cond ~ 1/mu beyond ~1e7) — the
+    CLAUDE.md rule is now a code-level guard."""
+    from qpdo_tpu.validate import UnsafeSettingsWarning, validate_settings
+
+    with pytest.warns(UnsafeSettingsWarning, match="mu_min"):
+        validate_settings(qt.Settings(kkt_dtype="float32"))  # mu_min 1e-9

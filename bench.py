@@ -312,7 +312,16 @@ def main():
                            warmup_refine_steps=int(
                                os.environ.get("QPDO_BENCH_WREFINE", "0")),
                            polish=bool(int(
-                               os.environ.get("QPDO_BENCH_POLISH", "1"))))
+                               os.environ.get("QPDO_BENCH_POLISH", "1"))),
+                           # in-loop Pallas A/B (round-3 verdict item 2):
+                           # QPDO_BENCH_PALLAS in {"", "formation",
+                           # "residuals", "both"}
+                           pallas_formation=os.environ.get(
+                               "QPDO_BENCH_PALLAS", "") in
+                               ("formation", "both"),
+                           pallas_residuals=os.environ.get(
+                               "QPDO_BENCH_PALLAS", "") in
+                               ("residuals", "both"))
 
     def run_sync():
         # straggler compaction: identical per-problem algorithm decisions

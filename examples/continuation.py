@@ -71,6 +71,15 @@ def main():
         # single executions of any kind (RESULTS.md crash class).
         settings = settings.replace(kkt_dtype="float32", mu_min=1e-7,
                                     refine_steps=3, max_time=3600.0)
+    if os.environ.get("QPDO_EX_F32"):
+        # CPU rehearsal of the exact TPU precision config (no chunking)
+        settings = settings.replace(kkt_dtype="float32", mu_min=1e-7,
+                                    refine_steps=3)
+    if os.environ.get("QPDO_EX_ALGO"):
+        # force the banded factorization algorithm (cr/scan) — the CR
+        # ladder acceptance runs use this to pin banded_algo="cr" on CPU
+        settings = settings.replace(
+            banded_algo=os.environ["QPDO_EX_ALGO"])
 
     # refine_final: a warm fine level can stop with the not-yet-recentered
     # proximal term sigma*(x - xbar) still inside its residual estimate

@@ -231,7 +231,8 @@ class DenseOperator(NamedTuple):
         d = self.sp.data
         return newton_system_solve(d.Q, d.A, active, mu, sigma, rhs,
                                    settings.proximal, settings.refine_steps,
-                                   settings.kkt_dtype)
+                                   settings.kkt_dtype,
+                                   settings.pallas_formation)
 
     # -- Incremental KKT formation (Settings.kkt_update_rows > 0): the
     # TPU analogue of the reference's rank-k factor updates

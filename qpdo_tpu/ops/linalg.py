@@ -124,7 +124,8 @@ def _exact_kmv(Q, A, w, sigma, proximal: bool, kdt, dt):
 
 
 def newton_system_solve(Q, A, active, mu, sigma, rhs, proximal: bool,
-                        refine_steps: int = 0, kkt_dtype=None):
+                        refine_steps: int = 0, kkt_dtype=None,
+                        pallas_formation: bool = False):
     """Form K and solve K dx = rhs (the factorization event of newton.c:21-49).
 
     With ``kkt_dtype`` set (e.g. float32 while the state is float64), the
@@ -133,13 +134,27 @@ def newton_system_solve(Q, A, active, mu, sigma, rhs, proximal: bool,
     full-precision matvecs  K dx = Q dx + sigma dx + A'(w .* (A dx))  —
     O(n^2 + mn) — so the solution converges to state-dtype accuracy as long
     as cond(K)*eps(kkt_dtype) < 1.
+
+    ``pallas_formation`` swaps the formation for the fused Pallas kernel
+    (ops/pallas_formation.py — the row-scaled (m, n) intermediate never
+    reaches HBM); engaged only when the formation dtype is float32
+    (Pallas TPU has no f64), interpret mode on CPU.
     """
     dt = Q.dtype
     kdt = jnp.dtype(kkt_dtype) if kkt_dtype is not None else dt
     w = active / mu
-    K = form_kkt(Q.astype(kdt), A.astype(kdt),
-                 active.astype(kdt), mu.astype(kdt),
-                 jnp.asarray(sigma, kdt), proximal)
+    on_cpu = jax.default_backend() == "cpu"
+    if pallas_formation and (on_cpu or kdt == jnp.dtype(jnp.float32)):
+        from .pallas_formation import fused_formation
+        sig_eff = jnp.asarray(sigma, kdt) if proximal \
+            else jnp.zeros((), kdt)
+        K = fused_formation(A.astype(kdt)[None], w.astype(kdt)[None],
+                            Q.astype(kdt)[None], sig_eff[None],
+                            interpret=on_cpu)[0]
+    else:
+        K = form_kkt(Q.astype(kdt), A.astype(kdt),
+                     active.astype(kdt), mu.astype(kdt),
+                     jnp.asarray(sigma, kdt), proximal)
     chol, dinv = jacobi_cholesky(K)
     solve1 = _prescaled_tri_solver(chol, dinv, dt)
     Kmv = _exact_kmv(Q, A, w, sigma, proximal, kdt, dt)

@@ -177,23 +177,50 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
     cost = op.cost
     sigma = s.sigma
 
-    res_prim, res_dual, res_prim_norm, res_dual_norm = outer_residuals(
-        op, s.y, s.Qx, s.Ax, s.Aty)
-
-    # ---- inner residuals (iteration.c:65-93; norms termination.c:58-77) ----
-    w = tmap(lambda Ax, mu, ybar, y: Ax + mu * (ybar - 0.5 * y),
-             s.Ax, s.mu, s.ybar, s.y)
-    res_prim_in = tmap(
-        lambda Ax, mu, ybar, y, wv, l, u: Ax + mu * (ybar - y) - jnp.clip(wv, l, u),
-        s.Ax, s.mu, s.ybar, s.y, w, op.l, op.u)
-    if settings.proximal:
-        df = tmap(lambda Qx, q, x, xbar: Qx + q + sigma * (x - xbar),
-                  s.Qx, op.q, s.x, s.xbar)
+    # The whole residual block (outer/inner residuals, w, active, norms)
+    # can run as ONE fused Pallas launch on the dense path
+    # (Settings.pallas_residuals; ops/pallas_residuals.py) — the in-loop
+    # integration of the round-3 standalone-measured kernel.  TPU Pallas
+    # has no float64, so on device it engages only in float32 phases
+    # (the hybrid warmup, ~97% of bench iterations); interpret mode on
+    # CPU keeps it testable.
+    _on_cpu = jax.default_backend() == "cpu"
+    use_pallas_res = (settings.pallas_residuals
+                      and isinstance(op, DenseOperator)
+                      and (_on_cpu or dt == jnp.dtype(jnp.float32)))
+    active_pl = None
+    if use_pallas_res:
+        from ..ops.pallas_residuals import fused_residuals
+        sig_eff = sigma if settings.proximal else jnp.zeros((), dt)
+        (res_prim, res_prim_in, w, active_pl, res_dual_in,
+         res_prim_norm, res_dual_norm, res_prim_in_norm,
+         res_dual_in_norm) = (a[0] for a in fused_residuals(
+             s.Ax[None], s.y[None], s.mu[None], s.ybar[None],
+             op.l[None], op.u[None], op.E[None], op.Einv[None],
+             s.Qx[None], op.q[None], s.Aty[None], s.x[None], s.xbar[None],
+             op.Dinv[None], jnp.reshape(sig_eff, (1,)),
+             jnp.reshape(cinv, (1,)), interpret=_on_cpu))
+        # the linesearch consumes df = Qx + q + sigma (x - xbar); the
+        # kernel returns res_dual_in = df + Aty, so recover df exactly
+        df = res_dual_in - s.Aty
     else:
-        df = tmap(lambda Qx, q: Qx + q, s.Qx, op.q)
-    res_dual_in = tmap(jnp.add, df, s.Aty)
-    res_prim_in_norm = tnorm_inf(tmap(jnp.multiply, op.Einv, res_prim_in))
-    res_dual_in_norm = tnorm_inf(tmap(jnp.multiply, op.Dinv, res_dual_in)) * cinv
+        res_prim, res_dual, res_prim_norm, res_dual_norm = outer_residuals(
+            op, s.y, s.Qx, s.Ax, s.Aty)
+
+        # ---- inner residuals (iteration.c:65-93; norms termination.c:58-77) ----
+        w = tmap(lambda Ax, mu, ybar, y: Ax + mu * (ybar - 0.5 * y),
+                 s.Ax, s.mu, s.ybar, s.y)
+        res_prim_in = tmap(
+            lambda Ax, mu, ybar, y, wv, l, u: Ax + mu * (ybar - y) - jnp.clip(wv, l, u),
+            s.Ax, s.mu, s.ybar, s.y, w, op.l, op.u)
+        if settings.proximal:
+            df = tmap(lambda Qx, q, x, xbar: Qx + q + sigma * (x - xbar),
+                      s.Qx, op.q, s.x, s.xbar)
+        else:
+            df = tmap(lambda Qx, q: Qx + q, s.Qx, op.q)
+        res_dual_in = tmap(jnp.add, df, s.Aty)
+        res_prim_in_norm = tnorm_inf(tmap(jnp.multiply, op.Einv, res_prim_in))
+        res_dual_in_norm = tnorm_inf(tmap(jnp.multiply, op.Dinv, res_dual_in)) * cinv
 
     # ---- outer optimality / divergence (termination.c:11-23) ----
     # In mixed-GEMM mode the caches carry bounded reduced-precision drift
@@ -220,9 +247,11 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
     # =======================================================================
     # Branch A: Newton step (computed unconditionally; masked in at the end)
     # =======================================================================
-    # active set as weights (newton.c:96-107)
-    active = tmap(lambda wv, l, u: ((wv <= l) | (wv >= u)).astype(dt),
-                  w, op.l, op.u)
+    # active set as weights (newton.c:96-107); the fused residual kernel
+    # already computed it in the same launch
+    active = active_pl if active_pl is not None else tmap(
+        lambda wv, l, u: ((wv <= l) | (wv >= u)).astype(dt),
+        w, op.l, op.u)
     # rhs: ytilde = (I+P) res_prim_in / mu (doubled on inactive rows),
     # rhs = -(res_dual_in + A' ytilde)   (newton.c:37-45)
     ytilde = tmap(lambda r, mu, a: (r / mu) * (2.0 - a),

@@ -109,6 +109,57 @@ def _objective(sp, settings, state):
     return core.objective_value(sp, state.x, state.Qx)
 
 
+def _host_tree(t):
+    """Pull every array leaf of a pytree to host memory (crash snapshot)."""
+    import numpy as np
+
+    return jax.tree.map(
+        lambda a: np.asarray(a) if hasattr(a, "dtype") else a, t)
+
+
+def _device_tree(t):
+    """Re-materialize a host snapshot as device arrays (crash restore)."""
+    return jax.tree.map(
+        lambda a: jnp.asarray(a) if hasattr(a, "dtype") else a, t)
+
+
+def _recover_backend(max_wait_s: float = 1800.0) -> bool:
+    """Best-effort client-side recovery after a device/worker crash.
+
+    The platform fault class (RESULTS.md: sustained sparse-CG streams can
+    take down the axon worker; re-init takes minutes) kills every live
+    device buffer and poisons the in-process backend.  This waits until
+    the platform answers a fresh-subprocess probe, then drops this
+    process's backend state so the next dispatch re-initializes and
+    recompiles.  Returns False if the wait was exhausted."""
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=max(60.0, max_wait_s / 4),
+            ).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            break
+        if time.monotonic() > deadline:
+            return False
+        time.sleep(30.0)
+    try:
+        jax.clear_backends()
+    except Exception:  # noqa: BLE001 — clear_backends moved across versions
+        try:
+            from jax.extend import backend as _xb
+            _xb.clear_backends()
+        except Exception:  # noqa: BLE001
+            pass
+    return True
+
+
 def solve_driven(sp: ScaledProblem, settings: Settings, x0, y0,
                  warm_x: bool, warm_y: bool, t_start: float) -> Result:
     """Chunked host-driven solve honouring ``verbose`` and ``max_time``.
@@ -116,9 +167,45 @@ def solve_driven(sp: ScaledProblem, settings: Settings, x0, y0,
     Semantically identical to ``core.solve_scaled`` (same jitted step), with
     printing/timeout layered on from the host.  Single problem only — for
     batches use the fully-jitted path.
+
+    CRASH-RESILIENT SEGMENTATION (Settings.crash_recovery > 0): every
+    chunk's completed state is snapshotted to host memory; if a chunk
+    dies on a device/worker crash (the platform fault class of
+    RESULTS.md), the driver waits for the backend to come back, restores
+    the operator and state from the snapshots, and resumes — one
+    recompile instead of a lost solve.  The reference's closest analogue
+    is its supernodal→simplicial factorization fallback
+    (cholmod_interface.c:19-29); elastic re-dispatch has no reference
+    equivalent (single-process C).
     """
     verbose = settings.verbose
     timed_out = False
+
+    recovery = int(getattr(settings, "crash_recovery", 0))
+    sp_host = _host_tree(sp) if recovery > 0 else None
+
+    def run_chunk_safe(op, op_host, chunk_settings, state, cap):
+        """_run_chunk + forced completion, with crash restore/retry.
+        Returns (op, state_after) — op is re-materialized on recovery."""
+        nonlocal recovery
+        snap = _host_tree(state) if recovery > 0 else None
+        while True:
+            try:
+                out = _run_chunk(op, chunk_settings, state,
+                                 jnp.asarray(cap, jnp.int32))
+                int(out.status)  # force execution: crashes surface HERE
+                return op, out
+            except Exception as e:  # noqa: BLE001 — device loss is untyped
+                if recovery <= 0:
+                    raise
+                recovery -= 1
+                print(f"# device execution failed ({type(e).__name__}); "
+                      f"attempting backend recovery "
+                      f"({recovery} retries left)", flush=True)
+                if not _recover_backend():
+                    raise
+                op = _device_tree(op_host)
+                state = _device_tree(snap)
 
     hybrid = (settings.hybrid_warmup
               and core.as_operator(sp).dtype != jnp.float32)
@@ -132,11 +219,11 @@ def solve_driven(sp: ScaledProblem, settings: Settings, x0, y0,
         s = _init32(op32, s32_settings, x0, y0, warm_x, warm_y)
         wcap = core.warmup_iter_cap(settings)
         chunk = _TIME_CHUNK
+        op32_host = _host_tree(op32) if recovery > 0 else None
         while int(s.status) == _c.UNSOLVED and int(s.iter) < wcap:
             cap = min(int(s.iter) + chunk, wcap)
             t_c = time.perf_counter()
-            s = _run_chunk(op32, s32_settings, s,
-                           jnp.asarray(cap, jnp.int32))
+            op32, s = run_chunk_safe(op32, op32_host, s32_settings, s, cap)
             chunk = _adapt_chunk(chunk, time.perf_counter() - t_c)
             if time.perf_counter() - t_start > settings.max_time:
                 timed_out = True
@@ -178,7 +265,7 @@ def solve_driven(sp: ScaledProblem, settings: Settings, x0, y0,
                and int(s.iter) < settings.max_iter):
             cap = min(int(s.iter) + chunk, settings.max_iter)
             t_c = time.perf_counter()
-            s = _run_chunk(sp, settings, s, jnp.asarray(cap, jnp.int32))
+            sp, s = run_chunk_safe(sp, sp_host, settings, s, cap)
             chunk = _adapt_chunk(chunk, time.perf_counter() - t_c)
             if time.perf_counter() - t_start > settings.max_time:
                 timed_out = True

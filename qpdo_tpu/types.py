@@ -255,6 +255,31 @@ class Settings:
     # coarse factor) on top of block-Jacobi — removes the low-frequency
     # modes that make CG counts grow with n on PDE/banded KKT systems.
     precond_two_level: bool = True
+    # --- Pallas in-loop kernels (dense path; SURVEY §7 step 4's "swap
+    # under the same signatures" clause).  Both default off: the kernels
+    # won 2-10% STANDALONE on the 2026-08-19 chip state (RESULTS.md) and
+    # these flags exist to measure them IN-LOOP (bench A/B) — adopt where
+    # the measurement says so.  On TPU they engage only when the compute
+    # dtype is float32 (Pallas TPU has no f64); on CPU they run in
+    # interpret mode (tests).
+    # Fused KKT formation: K = A'(w∘A) + Q + sigma*I in one kernel — the
+    # (m, n) row-scaled intermediate never reaches HBM
+    # (ops/pallas_formation.py).
+    pallas_formation: bool = False
+    # Fused residual+norm block: the whole per-iteration residual
+    # computation (outer/inner residuals, w, active, 4 norms) in one
+    # launch (ops/pallas_residuals.py).
+    pallas_residuals: bool = False
+    # Crash-resilient segmented driving (host-chunked paths only, i.e.
+    # when max_time/verbose route through solve_driven): number of
+    # device/worker-crash recoveries to attempt.  Each completed chunk's
+    # state is snapshotted to host memory (<5% overhead at the ~20 s
+    # adaptive chunk target); on a crash the driver waits for the
+    # backend, restores operator+state from the snapshots, and resumes
+    # with one recompile.  Built for the platform fault class of
+    # RESULTS.md (sustained sparse-CG streams killing the worker).
+    # 0 disables (a crash propagates as before).
+    crash_recovery: int = 2
     # Matmul precision for the float32 warmup phase only (it targets
     # warmup_eps ~ 1e-3, so "tensorfloat32" 3-pass arithmetic can be a
     # faster choice than "highest" on TPU).

@@ -106,6 +106,8 @@ def validate_settings(s: Settings) -> None:
     if s.banded_cr_fallback_rtol < 0:
         raise ValueError(
             "banded_cr_fallback_rtol must be nonnegative (0 disables)")
+    if s.crash_recovery < 0:
+        raise ValueError("crash_recovery must be nonnegative (0 disables)")
     if s.linesearch not in ("sort", "bisect", "bisect_chunk"):
         raise ValueError(
             "linesearch must be 'sort', 'bisect', or 'bisect_chunk'")

@@ -4,7 +4,7 @@ import numpy as np
 
 import qpdo_tpu as qt
 
-from utils import random_qp
+from utils import kkt_residuals, random_qp
 
 
 def test_verbose_prints_table(capsys):
@@ -78,3 +78,52 @@ def test_max_time_interrupts_hybrid_warmup():
     # stopped within the first warmup chunk (+ a few upcast bookkeeping
     # iterations), nowhere near the 10000-iteration warmup cap
     assert int(res.info.iterations) <= 64
+
+
+def test_crash_recovery_resumes_from_snapshot(monkeypatch):
+    """Crash-resilient segmentation (Settings.crash_recovery): a device
+    execution that dies mid-solve is retried from the host-side chunk
+    snapshot after backend recovery — the solve completes and verifies
+    instead of propagating the crash (the RESULTS.md platform fault
+    class, simulated here by failing the first chunk execution)."""
+    from qpdo_tpu.solver import driver
+
+    real_run_chunk = driver._run_chunk
+    calls = {"n": 0, "recovered": 0}
+
+    def flaky_run_chunk(op, settings, state, cap):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated device/worker crash")
+        return real_run_chunk(op, settings, state, cap)
+
+    monkeypatch.setattr(driver, "_run_chunk", flaky_run_chunk)
+    monkeypatch.setattr(driver, "_recover_backend",
+                        lambda *a, **k: calls.__setitem__(
+                            "recovered", calls["recovered"] + 1) or True)
+
+    Q, q, A, l, u = random_qp(40, 60, seed=9)
+    # max_time routes through solve_driven (the host-chunked path)
+    s = qt.Settings(max_time=600.0, crash_recovery=2)
+    res = qt.solve(qt.make_problem(Q, q, A, l, u), s)
+    assert calls["recovered"] == 1
+    assert int(res.info.status_val) == qt.SOLVED
+    rp, rd = kkt_residuals(Q, q, A, l, u, np.asarray(res.x),
+                           np.asarray(res.y))
+    assert rp < 1e-6 and rd < 1e-6
+
+
+def test_crash_recovery_disabled_propagates(monkeypatch):
+    """crash_recovery=0 keeps the old contract: the exception escapes."""
+    import pytest as _pytest
+
+    from qpdo_tpu.solver import driver
+
+    def boom(op, settings, state, cap):
+        raise RuntimeError("simulated device/worker crash")
+
+    monkeypatch.setattr(driver, "_run_chunk", boom)
+    Q, q, A, l, u = random_qp(30, 45, seed=10)
+    s = qt.Settings(max_time=600.0, crash_recovery=0)
+    with _pytest.raises(RuntimeError, match="simulated"):
+        qt.solve(qt.make_problem(Q, q, A, l, u), s)

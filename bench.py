@@ -79,16 +79,22 @@ def measure_peak_tflops(reps: int = 3, size: int = 4096,
     import jax
     import jax.numpy as jnp
 
+    def _sync(r):
+        # sync via a ONE-ELEMENT host transfer: the slice depends on the
+        # whole kernel completing, but moves 4 bytes — np.asarray(r) of
+        # the full result would time the PCIe/host transfer, not the
+        # matmul (measured: it buried the batched-probe compute under a
+        # 10 MB pull and read 0.003 TFLOPS)
+        np.asarray(jnp.ravel(r)[:1])
+
     def _time_best(f, args, flops):
-        r = f(*args)
-        np.asarray(r).ravel()[0]  # compile + warm; sync via host transfer
+        _sync(f(*args))  # compile + warm
         # best-of-reps: host contention on the shared axon frontend can
         # inflate any single rep ~2x; the min estimates the uncontended cost
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            r = f(*args)
-            np.asarray(r).ravel()[0]  # sync via host transfer (axon quirk)
+            _sync(f(*args))
             best = min(best, time.perf_counter() - t0)
         return flops / best / 1e12
 
@@ -217,7 +223,8 @@ def _wait_for_queue_idle(max_wait_s: "float | None" = None) -> None:
                    b"benchmarks/run.py", b"mm_like.py", b"fuzz_sparse.py",
                    b"tpu_banded_cr", b"tpu_cg_size_probe",
                    b"examples/continuation.py",
-                   b"tpu_pallas_residuals_bench")
+                   b"tpu_pallas_residuals_bench",
+                   b"tpu_bigrand_retry", b"cr_stability_probe")
 
     def queue_active() -> bool:
         for pid in os.listdir("/proc"):
@@ -321,7 +328,10 @@ def main():
                                ("formation", "both"),
                            pallas_residuals=os.environ.get(
                                "QPDO_BENCH_PALLAS", "") in
-                               ("residuals", "both"))
+                               ("residuals", "both"),
+                           # op-count cut A/B (round-3 verdict item 6)
+                           fused_newton_rhs=bool(int(os.environ.get(
+                               "QPDO_BENCH_FUSEDRHS", "0"))))
 
     def run_sync():
         # straggler compaction: identical per-problem algorithm decisions

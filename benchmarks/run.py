@@ -228,8 +228,9 @@ def generate_suite(out_dir: str, count: int = 12, seed: int = 0) -> None:
             l2 = np.concatenate([l2, -3 * np.ones(n)])
             u2 = np.concatenate([u2, 3 * np.ones(n)])
         p = qt.make_problem(Q, rng.standard_normal(n), A, l2, u2)
-        write_qps(p, os.path.join(out_dir, f"gen{k:03d}.qps"),
-                  name=f"GEN{k:03d}")
+        path = os.path.join(out_dir, f"gen{k:03d}.qps")
+        if not os.path.exists(path):  # additive: seeded -> same content
+            write_qps(p, path, name=f"GEN{k:03d}")
 
 
 def _generate_large_sparse(out_dir: str, rng, write_qps) -> None:
@@ -244,12 +245,14 @@ def _generate_large_sparse(out_dir: str, rng, write_qps) -> None:
     from mm_like import gen_gouldqp, gen_qband
 
     def emit(name, Q, q, A, l, u):
+        path = os.path.join(out_dir, f"{name.lower()}.qps")
+        if os.path.exists(path):  # additive top-up of an existing suite
+            return
         data = QPSData(Q=sps.csc_matrix(Q), q=np.asarray(q),
                        A=sps.csc_matrix(A), l=np.asarray(l),
                        u=np.asarray(u), c=0.0, name=name,
                        n_structural=Q.shape[0])
-        write_qps(data, os.path.join(out_dir, f"{name.lower()}.qps"),
-                  name=name)
+        write_qps(data, path, name=name)
 
     emit("BIGGQP", *gen_gouldqp(rng, 5000))
     emit("BIGQBAND", *gen_qband(rng, 5000))
@@ -260,6 +263,13 @@ def _generate_large_sparse(out_dir: str, rng, write_qps) -> None:
     A = sps.random(m, n, density=6.0 / n, random_state=32, format="csr")
     emit("BIGRAND", Q, rng.standard_normal(n), A,
          -rng.random(m), rng.random(m))
+    # reference-top-end banded instances (the MM suite reaches n ~ 9e4;
+    # round-3's largest generated files stopped at n=8000): these route
+    # through the native sparse parse onto the banded direct path
+    # (round-4; solved on-TPU by scripts/tpu_big_banded.py)
+    rng2 = np.random.default_rng(77)
+    emit("BIGGQP12K", *gen_gouldqp(rng2, 12000))
+    emit("BIGQBAND20K", *gen_qband(rng2, 20000))
 
 
 def bench_maros():
@@ -277,8 +287,9 @@ def bench_maros():
     if not mm_dir or not os.path.isdir(mm_dir):
         mm_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "generated_suite")
-        if not os.path.isdir(mm_dir):
-            generate_suite(mm_dir)
+        # always call: generate_suite is additive (emit skips existing
+        # files), so new reference-scale instances top up old suite dirs
+        generate_suite(mm_dir)
         generated = True
     try:
         from qpdo_tpu.native import read_qps_native as reader

@@ -197,6 +197,24 @@ class DenseOperator(NamedTuple):
         AtV = self.sp.data.A.T @ jnp.stack([ya, yb], axis=-1)  # (n, 2)
         return AtV[..., 0], AtV[..., 1]
 
+    def Qmv2(self, xa, xb):
+        QV = self.sp.data.Q @ jnp.stack([xa, xb], axis=-1)     # (n, 2)
+        return QV[..., 0], QV[..., 1]
+
+    def QAmv2(self, xa, xb):
+        """(Q xa, Q xb, A xa, A xb) as ONE stacked GEMM [Q; A] @ [xa|xb].
+
+        The Newton direction and the dual-infeasibility certificate need
+        both Q- and A-images of the same input pair; the vertical concat
+        is a pure function of loop invariants (XLA's while-loop LICM
+        hoists it), so this trades 2 MXU dispatches for 1 at identical
+        per-row reductions."""
+        d = self.sp.data
+        QA = jnp.concatenate([d.Q, d.A], axis=-2)          # (n+m, n)
+        V = QA @ jnp.stack([xa, xb], axis=-1)              # (n+m, 2)
+        n = d.Q.shape[-1]
+        return V[..., :n, 0], V[..., :n, 1], V[..., n:, 0], V[..., n:, 1]
+
     # -- mixed-precision matvecs with exact "hard rows" --------------------
     # The dual step divides A dx by mu (newton.c:60-63): on rows with tiny
     # mu a float32 A dx error eps32*||dx|| amplifies to eps32*||dx||/mu —
@@ -224,15 +242,20 @@ class DenseOperator(NamedTuple):
         fast = (A.T.astype(dtype) @ y_soft.astype(dtype)).astype(A.dtype)
         return fast + jnp.take(A, idx, axis=0).T @ y[idx]
 
-    # -- Newton system solve (the factorization event, newton.c:21-49) --
+    # -- Newton system solve (the factorization event, newton.c:21-49).
+    # ``ytilde``/``res_dual_in`` select the fused-rhs mode: the A'ytilde
+    # matvec rides the formation GEMM as one extra column (op-count cut,
+    # Settings.fused_newton_rhs; rhs is then ignored). --
     def newton_solve(self, active, mu, sigma, rhs, settings: Settings,
-                     dx_prev=None, tol_hint=None):
+                     dx_prev=None, tol_hint=None,
+                     ytilde=None, res_dual_in=None):
         from .ops.linalg import newton_system_solve
         d = self.sp.data
         return newton_system_solve(d.Q, d.A, active, mu, sigma, rhs,
                                    settings.proximal, settings.refine_steps,
                                    settings.kkt_dtype,
-                                   settings.pallas_formation)
+                                   settings.pallas_formation,
+                                   ytilde, res_dual_in)
 
     # -- Incremental KKT formation (Settings.kkt_update_rows > 0): the
     # TPU analogue of the reference's rank-k factor updates
@@ -424,6 +447,16 @@ class SparseOperator(NamedTuple):
         AtV = jnp.zeros((self.n, 2), self.dtype).at[cols].add(
             self.a_data[:, None] * Y[rows, :])
         return AtV[..., 0], AtV[..., 1]
+
+    def Qmv2(self, xa, xb):
+        X = jnp.stack([xa, xb], axis=-1)               # (n, 2)
+        if self.ellQ is not None:
+            QV = self._ell_mv2(self.q_data, self.ellQ, X)
+            return QV[..., 0], QV[..., 1]
+        rows, cols = self.q_idx[:, 0], self.q_idx[:, 1]
+        QV = jnp.zeros((self.n, 2), self.dtype).at[rows].add(
+            self.q_data[:, None] * X[cols, :])
+        return QV[..., 0], QV[..., 1]
 
     def diag_K(self, active, mu, sigma, proximal: bool):
         """diag(K) in O(nnz) without forming K: diag(Q) + sigma +
@@ -1005,6 +1038,13 @@ class BlockAngularOperator(NamedTuple):
         Y = jnp.stack([ya, yb], axis=-1)               # (S, ms, 2)
         R0 = jnp.einsum("smn,smk->nk", self.T, Y)      # (n0, 2)
         Rs = jnp.einsum("smj,smk->sjk", self.W, Y)     # (S, ns, 2)
+        return (R0[..., 0], Rs[..., 0]), (R0[..., 1], Rs[..., 1])
+
+    def Qmv2(self, xa, xb):
+        X0 = jnp.stack([xa[0], xb[0]], axis=-1)        # (n0, 2)
+        Xs = jnp.stack([xa[1], xb[1]], axis=-1)        # (S, ns, 2)
+        R0 = self.Q0 @ X0
+        Rs = jnp.einsum("sij,sjk->sik", self.Qs, Xs)
         return (R0[..., 0], Rs[..., 0]), (R0[..., 1], Rs[..., 1])
 
     def newton_solve(self, active, mu, sigma, rhs, settings: Settings,

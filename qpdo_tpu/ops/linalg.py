@@ -125,7 +125,8 @@ def _exact_kmv(Q, A, w, sigma, proximal: bool, kdt, dt):
 
 def newton_system_solve(Q, A, active, mu, sigma, rhs, proximal: bool,
                         refine_steps: int = 0, kkt_dtype=None,
-                        pallas_formation: bool = False):
+                        pallas_formation: bool = False,
+                        ytilde=None, res_dual_in=None):
     """Form K and solve K dx = rhs (the factorization event of newton.c:21-49).
 
     With ``kkt_dtype`` set (e.g. float32 while the state is float64), the
@@ -139,19 +140,46 @@ def newton_system_solve(Q, A, active, mu, sigma, rhs, proximal: bool,
     (ops/pallas_formation.py — the row-scaled (m, n) intermediate never
     reaches HBM); engaged only when the formation dtype is float32
     (Pallas TPU has no f64), interpret mode on CPU.
+
+    FUSED-RHS MODE (``ytilde``/``res_dual_in`` given, ``rhs`` ignored):
+    the rhs matvec A'ytilde rides the formation GEMM as one extra
+    column,  A' @ [w∘A | ytilde]  →  (n, n+1)  — one MXU op instead of
+    two.  Op-COUNT cuts are the throughput lever on MXU-op-rate-bound
+    chip states (RESULTS.md round 3: kkt_update_rows=16 cut FLOPs 2.5x
+    at equal wall; Settings.fused_newton_rhs).  Numerically identical
+    error class: the old path also ran A'ytilde in the KKT dtype.
     """
     dt = Q.dtype
     kdt = jnp.dtype(kkt_dtype) if kkt_dtype is not None else dt
     w = active / mu
     on_cpu = jax.default_backend() == "cpu"
-    if pallas_formation and (on_cpu or kdt == jnp.dtype(jnp.float32)):
+    fused_rhs = ytilde is not None
+    if fused_rhs and not pallas_formation:
+        Ak = A.astype(kdt)
+        AwY = jnp.concatenate(
+            [w.astype(kdt)[..., :, None] * Ak,
+             ytilde.astype(kdt)[..., :, None]], axis=-1)   # (m, n+1)
+        G = Ak.T @ AwY if Ak.ndim == 2 else jnp.einsum(
+            "...mn,...mk->...nk", Ak, AwY)
+        n = Q.shape[-1]
+        K = Q.astype(kdt) + G[..., :n]
+        if proximal:
+            K = K + jnp.asarray(sigma, kdt) * jnp.eye(n, dtype=kdt)
+        rhs = -(res_dual_in + G[..., n].astype(dt))
+    elif pallas_formation and (on_cpu or kdt == jnp.dtype(jnp.float32)):
         from .pallas_formation import fused_formation
+        if fused_rhs:  # pallas kernel has no rhs column; compute apart
+            rhs = -(res_dual_in
+                    + (A.T.astype(kdt) @ ytilde.astype(kdt)).astype(dt))
         sig_eff = jnp.asarray(sigma, kdt) if proximal \
             else jnp.zeros((), kdt)
         K = fused_formation(A.astype(kdt)[None], w.astype(kdt)[None],
                             Q.astype(kdt)[None], sig_eff[None],
                             interpret=on_cpu)[0]
     else:
+        if fused_rhs:
+            rhs = -(res_dual_in
+                    + (A.T.astype(kdt) @ ytilde.astype(kdt)).astype(dt))
         K = form_kkt(Q.astype(kdt), A.astype(kdt),
                      active.astype(kdt), mu.astype(kdt),
                      jnp.asarray(sigma, kdt), proximal)

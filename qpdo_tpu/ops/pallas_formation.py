@@ -36,11 +36,8 @@ def _kernel(A_ref, w_ref, Q_ref, sig_ref, K_ref):
     K_ref[0] = K + Q + jnp.where(eye, sig, 0.0).astype(K.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_formation(A, w, Q, sigma, interpret: bool = False):
-    """K = A' diag(w) A + Q + sigma*I, batched.  A (B, m, n), w (B, m),
-    Q (B, n, n), sigma (B,).  Zero-pads m/n to multiples of 128/8 (padded
-    w lanes are zero, so padding cannot contribute)."""
+def _impl(A, w, Q, sigma, interpret: bool):
+    """The pallas_call body (grid over the leading batch axis)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -65,6 +62,42 @@ def fused_formation(A, w, Q, sigma, interpret: bool = False):
         interpret=interpret,
     )(A_p, w_p, Q_p, sig)
     return K[:, :n, :n]
+
+
+@functools.lru_cache(maxsize=None)
+def _core(interpret: bool):
+    """custom_vmap wrapper: vmapping COLLAPSES the mapped axis into the
+    kernel's existing leading batch axis (one pallas_call over V*B) instead
+    of engaging pallas_call's generic batching rule, which appends a grid
+    dimension Mosaic fails to legalize on this toolchain ("func.return
+    (i32, i64, i64)" — logs/bench_r4_pallas_*.log).  The in-loop call sites
+    run per-problem (B=1) inside a vmapped solve, so this rule is what the
+    bench actually exercises."""
+
+    @jax.custom_batching.custom_vmap
+    def f(A, w, Q, sigma):
+        return _impl(A, w, Q, sigma, interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [a if b else
+                jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                for a, b in zip(args, in_batched)]
+        V, B = axis_size, args[0].shape[1]
+        flat = [a.reshape((V * B,) + a.shape[2:]) for a in args]
+        K = f(*flat)  # re-entrant: nested vmaps collapse level by level
+        return K.reshape((V, B) + K.shape[1:]), True
+
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_formation(A, w, Q, sigma, interpret: bool = False):
+    """K = A' diag(w) A + Q + sigma*I, batched.  A (B, m, n), w (B, m),
+    Q (B, n, n), sigma (B,).  Zero-pads m/n to multiples of 128/8 (padded
+    w lanes are zero, so padding cannot contribute).  vmap-safe: batching
+    collapses into the leading axis (see _core)."""
+    return _core(bool(interpret))(A, w, Q, sigma)
 
 
 def reference_formation(A, w, Q, sigma):

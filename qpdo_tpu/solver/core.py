@@ -292,17 +292,29 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
     cert_dt = settings.cert_dtype or settings.phase2_gemm_dtype
     cdt = jnp.dtype(cert_dt) if cert_dt else dt
     split_certs = check_inf and cdt != dt
-    At_ytilde = op.Atmv(ytilde, dtype=ckdt)
-    rhs = tmap(lambda rd, aty: -(rd + aty), res_dual_in, At_ytilde)
-    if s.kkt_cache is not None and hasattr(op, "newton_solve_cached"):
-        dx, kkt_cache_new = op.newton_solve_cached(
-            active, s.mu, sigma, rhs, settings, s.kkt_cache)
-    else:
-        dx = op.newton_solve(active, s.mu, sigma, rhs, settings,
-                             dx_prev=s.dx_prev, tol_hint=s.eps_in)
+    # fused-rhs mode (Settings.fused_newton_rhs): skip the standalone
+    # A'ytilde dispatch — it rides the formation GEMM inside newton_solve
+    # as one extra column (op-count cut for MXU-op-rate-bound parts).
+    fused_rhs = (settings.fused_newton_rhs
+                 and isinstance(op, DenseOperator)
+                 and s.kkt_cache is None)
+    if fused_rhs:
+        dx = op.newton_solve(active, s.mu, sigma, None, settings,
+                             dx_prev=s.dx_prev, tol_hint=s.eps_in,
+                             ytilde=ytilde, res_dual_in=res_dual_in)
         kkt_cache_new = s.kkt_cache
-    Qdx_pure = op.Qmv(dx, dtype=ckdt)
+    else:
+        At_ytilde = op.Atmv(ytilde, dtype=ckdt)
+        rhs = tmap(lambda rd, aty: -(rd + aty), res_dual_in, At_ytilde)
+        if s.kkt_cache is not None and hasattr(op, "newton_solve_cached"):
+            dx, kkt_cache_new = op.newton_solve_cached(
+                active, s.mu, sigma, rhs, settings, s.kkt_cache)
+        else:
+            dx = op.newton_solve(active, s.mu, sigma, rhs, settings,
+                                 dx_prev=s.dx_prev, tol_hint=s.eps_in)
+            kkt_cache_new = s.kkt_cache
     if mixed:
+        Qdx_pure = op.Qmv(dx, dtype=ckdt)
         Adx = op.Amv_mixed(dx, s.mu, settings.hard_rows, pdt)
         if check_inf:
             Adx_c_raw = op.Amv(dx_c, dtype=cdt)
@@ -312,13 +324,26 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
     elif split_certs:
         # certificate columns in reduced precision, un-stacked from the
         # state-dtype GEMMs (see Settings.cert_dtype)
+        Qdx_pure = op.Qmv(dx, dtype=ckdt)
         Adx = op.Amv(dx)
         Adx_c_raw = op.Amv(dx_c, dtype=cdt)
         Qdx_c = op.Qmv(dx_c, dtype=cdt)
     elif check_inf:
-        Adx, Adx_c_raw = op.Amv2(dx, dx_c)
-        Qdx_c = op.Qmv(dx_c)
+        if jnp.dtype(ckdt) == jnp.dtype(dt) and hasattr(op, "QAmv2"):
+            # all four direction images ride ONE stacked GEMM
+            # [Q; A] @ [dx | dx_c] — 3 MXU dispatches cut to 1 (same
+            # O(eps||M||||x||) error class, not bit-identical)
+            Qdx_pure, Qdx_c, Adx, Adx_c_raw = op.QAmv2(dx, dx_c)
+        elif jnp.dtype(ckdt) == jnp.dtype(dt):
+            # operators without the dense concat trick still stack pairs
+            Qdx_pure, Qdx_c = op.Qmv2(dx, dx_c)
+            Adx, Adx_c_raw = op.Amv2(dx, dx_c)
+        else:
+            Qdx_pure = op.Qmv(dx, dtype=ckdt)
+            Qdx_c = op.Qmv(dx_c)
+            Adx, Adx_c_raw = op.Amv2(dx, dx_c)
     else:
+        Qdx_pure = op.Qmv(dx, dtype=ckdt)
         Adx = op.Amv(dx)
         Qdx_c = Adx_c_raw = Atdy_c_raw = None
     if settings.proximal:

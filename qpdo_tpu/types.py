@@ -280,6 +280,14 @@ class Settings:
     # RESULTS.md (sustained sparse-CG streams killing the worker).
     # 0 disables (a crash propagates as before).
     crash_recovery: int = 2
+    # Fold the Newton rhs matvec A'ytilde into the KKT formation GEMM as
+    # one extra operand column:  A' @ [w∘A | ytilde]  — one MXU dispatch
+    # instead of two (dense direct path only).  Op-COUNT cuts are the
+    # measured throughput lever on MXU-op-rate-bound chip states
+    # (RESULTS.md round 3); same error class as the separate matvec
+    # (A'ytilde already ran in the KKT dtype).  Off by default pending
+    # the bench A/B; trajectories differ only by summation order.
+    fused_newton_rhs: bool = False
     # Matmul precision for the float32 warmup phase only (it targets
     # warmup_eps ~ 1e-3, so "tensorfloat32" 3-pass arithmetic can be a
     # faster choice than "highest" on TPU).

@@ -43,6 +43,11 @@ def main():
                        max_time=600.0)
 
     cells = [("scan", 0)] + [("cr", d) for d in (0, 2, 4, 6)]
+    sel = os.environ.get("QPDO_PROBE_CELLS")
+    if sel:  # e.g. "scan,cr0" — trims compiles on the slow-compile TPU
+        want = set(sel.split(","))
+        cells = [(a, d) for a, d in cells
+                 if (a if a == "scan" else f"cr{d}") in want]
     for lvl in grid_levels:
         prob = liswet(lvl, np.interp(np.linspace(0, 1, lvl), t_fine, d_fine))
         Q, q, A, l, u = prob

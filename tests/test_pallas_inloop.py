@@ -89,3 +89,40 @@ def test_inloop_pallas_bench_config():
                                prob.u[b], np.asarray(res.x)[b],
                                np.asarray(res.y)[b])
         assert max(rp, rd) < 1.1e-6
+
+
+def test_vmap_collapses_into_kernel_batch_axis():
+    """The round-4 Mosaic fix: vmapping the Pallas kernels must COLLAPSE
+    the mapped axis into the kernel's leading batch axis (one pallas_call
+    over V*B) rather than engage pallas_call's generic batching rule,
+    which appends a grid dimension this toolchain fails to legalize
+    ("func.return (i32, i64, i64)", logs/bench_r4_pallas_*.log).  Pin it
+    structurally: the jaxpr of the vmapped call must contain a
+    pallas_call whose first operand rank equals the unvmapped rank (the
+    batching rule would leave rank+1), plus a value check vs reference."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qpdo_tpu.ops.pallas_formation import (fused_formation,
+                                               reference_formation)
+
+    rng = np.random.default_rng(3)
+    V, B, m, n = 4, 2, 13, 9
+    A = jnp.asarray(rng.standard_normal((V, B, m, n)), jnp.float32)
+    w = jnp.asarray(rng.random((V, B, m)), jnp.float32)
+    Q = jnp.asarray(rng.standard_normal((V, B, n, n)), jnp.float32)
+    sig = jnp.asarray(rng.random((V, B)), jnp.float32)
+
+    f = jax.vmap(lambda a, ww, q, s: fused_formation(a, ww, q, s,
+                                                     interpret=True))
+    jaxpr = jax.make_jaxpr(f)(A, w, Q, sig)
+    calls = [e for e in str(jaxpr).split() if "pallas_call" in e]
+    assert calls, "pallas_call not in the vmapped jaxpr"
+    # the collapsed operand is (V*B, mp, np): rank 3, leading dim V*B
+    text = str(jaxpr)
+    assert f"{V * B}," in text  # the collapsed batch extent appears
+    K = f(A, w, Q, sig)
+    K_ref = jax.vmap(reference_formation)(A, w, Q, sig)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref),
+                               rtol=1e-5, atol=1e-5)

@@ -511,3 +511,56 @@ def test_saddle_solve_unit():
                                    rtol=1e-9, atol=1e-9)
         np.testing.assert_allclose(np.asarray(v2), ref[n:],
                                    rtol=1e-9, atol=1e-9)
+
+
+def test_fused_newton_rhs_matches_baseline():
+    """Settings.fused_newton_rhs folds the A'ytilde rhs matvec into the
+    formation GEMM (one extra operand column) — an op-count cut for
+    MXU-op-rate-bound parts (round-4).  Same error class as the separate
+    matvec, so statuses must match and iterations stay in class across a
+    seed sweep; every solve oracle-verifies."""
+    for seed in range(6):
+        Q, q, A, l, u = random_qp(40, 60, seed=100 + seed)
+        p = qt.make_problem(Q, q, A, l, u)
+        r0 = qt.solve(p)
+        r1 = qt.solve(p, settings=qt.Settings(fused_newton_rhs=True))
+        assert int(r1.info.status_val) == int(r0.info.status_val) == qt.SOLVED
+        assert abs(int(r1.info.iterations) - int(r0.info.iterations)) <= 3
+        rp, rd = kkt_residuals(Q, q, A, l, u, np.asarray(r1.x),
+                               np.asarray(r1.y))
+        assert max(rp, rd) < 1.1e-6
+
+
+def test_qmv2_stacks_exactly():
+    """Qmv2 (the round-4 stacked Q-matvec pair: Newton direction +
+    dual-infeasibility certificate in ONE 2-column GEMM) must reproduce
+    the separate Qmv calls on every operator that core.step() routes
+    through it."""
+    import jax.numpy as jnp
+    from qpdo_tpu.solver.core import as_operator
+    from qpdo_tpu.solver.scaling import scale_problem
+
+    rng = np.random.default_rng(7)
+    Q, q, A, l, u = random_qp(23, 31, seed=11)
+    p = qt.make_problem(Q, q, A, l, u)
+    op = as_operator(scale_problem(p, 10))
+    xa = jnp.asarray(rng.standard_normal(23))
+    xb = jnp.asarray(rng.standard_normal(23))
+    ra, rb = op.Qmv2(xa, xb)
+    # not bit-identical: XLA reduces the 2-column GEMM differently from
+    # the standalone GEMV — but the same O(eps ||Q|| ||x||) error class
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(op.Qmv(xa)),
+                               rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(rb), np.asarray(op.Qmv(xb)),
+                               rtol=1e-13, atol=1e-15)
+    # the dense 4-way stack [Q; A] @ [xa|xb] (one GEMM for all four
+    # direction images)
+    qa, qb, aa, ab = op.QAmv2(xa, xb)
+    np.testing.assert_allclose(np.asarray(qa), np.asarray(op.Qmv(xa)),
+                               rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(qb), np.asarray(op.Qmv(xb)),
+                               rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(aa), np.asarray(op.Amv(xa)),
+                               rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(ab), np.asarray(op.Amv(xb)),
+                               rtol=1e-13, atol=1e-15)

@@ -1,0 +1,136 @@
+"""Head-to-head: qpdo_tpu vs the OSQP-class ADMM baseline, same machine,
+same problems, same oracle (the reference paper's comparison class,
+README.md:11-24 — runnable here since neither OSQP nor QPALM installs).
+
+Cells:
+  1. bench-family batch (n=100, m=150, B=64): both solvers vmapped,
+     wall + mean iterations + solved fraction at eps 1e-6.
+  2. mm_like singles (CVXQP1 n=500, QBAND n=1000, GOULDQP n=1000):
+     iterations to 1e-6, CPU f64.
+
+One JSON line per cell.  QPDO_CMP_PLATFORM=cpu|axon selects the backend
+(default cpu; f64).  On TPU both solvers run their mixed-precision modes
+(qpdo: hybrid warmup + f32 KKT; admm: f32 factorization).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+plat = os.environ.get("QPDO_CMP_PLATFORM", "cpu")
+jax.config.update("jax_platforms", plat)
+jax.config.update("jax_enable_x64", plat == "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+import qpdo_tpu as qt  # noqa: E402
+from admm_baseline import ADMMSettings, admm_solve  # noqa: E402
+
+
+def sync(r):
+    np.asarray(jax.tree_util.tree_leaves(r)[0])
+
+
+def oracle(p, x, y, tol=1e-5):
+    Q, q, A, l, u = (np.asarray(a) for a in (p.Q, p.q, p.A, p.l, p.u))
+    x, y = np.asarray(x), np.asarray(y)
+    Ax = A @ x
+    rp = np.max(np.abs(Ax - np.clip(Ax + y, l, u)))
+    rd = np.max(np.abs(Q @ x + q + A.T @ y))
+    return float(rp), float(rd), bool(max(rp, rd) < tol)
+
+
+def bench_batch():
+    rng = np.random.default_rng(0)
+    B, n, m = 64, 100, 150
+    on_cpu = jax.default_backend() == "cpu"
+    dt = np.float64 if on_cpu else np.float32
+    probs = []
+    for _ in range(B):
+        M = rng.standard_normal((n, n))
+        Q = (M @ M.T / n + 0.1 * np.eye(n)).astype(dt)
+        A = rng.standard_normal((m, n)).astype(dt)
+        c = rng.random(m).astype(dt) + 0.1
+        probs.append(qt.make_problem(Q, rng.standard_normal(n).astype(dt),
+                                     A, -c, c))
+    batch = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *probs)
+
+    # qpdo (the bench configuration)
+    if on_cpu:
+        qs = qt.Settings(eps_abs=1e-6, polish=True)
+    else:
+        qs = qt.Settings(eps_abs=1e-6, polish=True, hybrid_warmup=True,
+                         kkt_dtype="float32", mu_min=1e-7,
+                         warmup_refine_steps=0)
+    from qpdo_tpu.parallel import solve_batch
+    r = solve_batch(batch, settings=qs); sync(r)
+    t0 = time.perf_counter(); r = solve_batch(batch, settings=qs); sync(r)
+    q_wall = time.perf_counter() - t0
+    q_ok = sum(oracle(jax.tree_util.tree_map(lambda a: a[i], batch),
+                      r.x[i], r.y[i])[2] for i in range(B))
+
+    asettings = ADMMSettings(eps_abs=1e-6, max_iter=20000)
+    fdt = None if on_cpu else "float32"
+    asolve = jax.jit(jax.vmap(lambda p: admm_solve(p, asettings,
+                                                   factor_dtype=fdt)))
+    ar = asolve(batch); sync(ar)
+    t0 = time.perf_counter(); ar = asolve(batch); sync(ar)
+    a_wall = time.perf_counter() - t0
+    a_ok = sum(oracle(jax.tree_util.tree_map(lambda a: a[i], batch),
+                      ar.x[i], ar.y[i])[2] for i in range(B))
+
+    print(json.dumps({
+        "cell": "bench_batch", "B": B, "n": n, "m": m, "eps": 1e-6,
+        "backend": jax.default_backend(),
+        "qpdo": {"wall_s": round(q_wall, 3),
+                 "mean_iters": float(np.mean(np.asarray(r.info.iterations))),
+                 "oracle_ok": int(q_ok)},
+        "admm": {"wall_s": round(a_wall, 3),
+                 "mean_iters": float(np.mean(np.asarray(ar.iterations))),
+                 "solved": int(np.sum(np.asarray(ar.solved))),
+                 "oracle_ok": int(a_ok)},
+        "wall_ratio_admm_over_qpdo": round(a_wall / q_wall, 2),
+    }), flush=True)
+
+
+def mm_singles():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mm_like import gen_cvxqp, gen_qband, gen_gouldqp
+
+    rng = np.random.default_rng(1)
+    cells = [("CVXQP1_500", gen_cvxqp(rng, 500, 0.5)),
+             ("QBAND_1000", gen_qband(rng, 1000)),
+             ("GOULDQP_1000", gen_gouldqp(rng, 1000))]
+    for name, (Q, q, A, l, u) in cells:
+        p = qt.make_problem(np.asarray(Q.todense()) if hasattr(Q, "todense")
+                            else Q, q,
+                            np.asarray(A.todense()) if hasattr(A, "todense")
+                            else A, l, u)
+        t0 = time.perf_counter()
+        r = qt.solve(p, settings=qt.Settings(eps_abs=1e-6)); sync(r)
+        q_wall = time.perf_counter() - t0
+        q_rp, q_rd, q_ok = oracle(p, r.x, r.y)
+        t0 = time.perf_counter()
+        ar = admm_solve(p, ADMMSettings(eps_abs=1e-6, max_iter=50000))
+        sync(ar)
+        a_wall = time.perf_counter() - t0
+        a_rp, a_rd, a_ok = oracle(p, ar.x, ar.y)
+        print(json.dumps({
+            "cell": name, "n": int(p.Q.shape[0]),
+            "qpdo": {"iters": int(r.info.iterations),
+                     "wall_s": round(q_wall, 2), "ok": q_ok},
+            "admm": {"iters": int(ar.iterations),
+                     "wall_s": round(a_wall, 2), "ok": a_ok,
+                     "rp": a_rp, "rd": a_rd},
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    bench_batch()
+    mm_singles()

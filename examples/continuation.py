@@ -75,6 +75,12 @@ def main():
         # CPU rehearsal of the exact TPU precision config (no chunking)
         settings = settings.replace(kkt_dtype="float32", mu_min=1e-7,
                                     refine_steps=3)
+    if os.environ.get("QPDO_EX_MAXTIME"):
+        # CPU rehearsal of the TPU host-chunked driving (solve_driven):
+        # the round-4 on-TPU ladder failed at n>=5625 where the unchunked
+        # CPU rehearsal passed — chunked driving is the untested delta
+        settings = settings.replace(
+            max_time=float(os.environ["QPDO_EX_MAXTIME"]))
     if os.environ.get("QPDO_EX_ALGO"):
         # force the banded factorization algorithm (cr/scan) — the CR
         # ladder acceptance runs use this to pin banded_algo="cr" on CPU

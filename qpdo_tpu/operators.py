@@ -610,12 +610,30 @@ class SparseOperator(NamedTuple):
         bump = jnp.where(diag + shift > 0, shift, shift + 1.0)
         D = D.at[:, idx, idx].add(bump)
 
+        # Symmetric Jacobi equilibration (state dtype, BEFORE the
+        # factorization downcast): K's conditioning on aggressive mu
+        # schedules is dominated by diagonal scale disparity — W rows at
+        # 1/mu_min vs O(1) — which a reduced-precision factorization
+        # cannot carry (the round-4 level-5625 on-TPU failures sit at the
+        # f32-refinement convergence boundary cond*eps32 ~ 1).  Factor
+        # S K S with S = diag(K)^{-1/2} instead: the scaled system's
+        # diagonal is exactly 1, the scale disparity is gone, and the
+        # solve wrapper applies dx = S z.  O(n) cost per assembly.
+        if settings.banded_jacobi_scale:
+            s = jax.lax.rsqrt(D[:, idx, idx])              # (nb, b), dt
+            D = D * s[:, :, None] * s[:, None, :]
+            if nb > 1:
+                # E_k = K[block k+1, block k]
+                E = E * s[1:, :, None] * s[:-1, None, :]
+        else:
+            s = jnp.ones((nb, b), dt)
+
         # reduced-precision factorization + state-dtype refinement, same
         # contract as the dense path (ops/linalg.newton_system_solve)
         kdt = jnp.dtype(settings.kkt_dtype) if settings.kkt_dtype else dt
         if kdt != dt:
             D, E = D.astype(kdt), E.astype(kdt)
-        return D, E
+        return D, E, s
 
     @staticmethod
     def _banded_factor_scan(D, E):
@@ -795,7 +813,11 @@ class SparseOperator(NamedTuple):
         pad = nb * b - n
         kdt = jnp.dtype(settings.kkt_dtype) if settings.kkt_dtype else dt
 
-        D, E = self._assemble_banded(w, sigma, settings)
+        D, E, s = self._assemble_banded(w, sigma, settings)
+        # flat Jacobi scale (state dtype): the factor solves S K S z = S r,
+        # the wrapper returns dx = S z — refinement below always runs on
+        # the TRUE (unscaled) system
+        s_flat = s.reshape(-1)[:n]
         algo = settings.banded_algo
         if algo == "auto":
             algo = "scan" if jax.default_backend() == "cpu" else "cr"
@@ -809,19 +831,41 @@ class SparseOperator(NamedTuple):
             return Kv
 
         def run(block_solve):
-            """Solve + monotone-safeguarded refinement with one factor.
+            """Solve + refinement with one factor.  Returns
+            (dx, ||rhs - K dx||).
 
-            The safeguard mirrors ops/linalg.newton_system_solve: an
-            unstable factor amplifies Richardson refinement explosively
-            (measured rd 1e12 after 3 unguarded sweeps, RESULTS.md
-            "level-704") — keep the better iterate by true residual.
-            Returns (dx, ||rhs - K dx||)."""
+            DEFAULT (banded_pcg_refine > 0): state-dtype PCG on the TRUE
+            system preconditioned by the reduced-precision factor.  At
+            cond(K) ~ 1/mu_min the f32 factor's direction error floors
+            at ~5e-2 and Richardson refinement cannot contract
+            (cond*eps32 > 1 — the round-4 LISWET tail stalls, CPU cold
+            MAX_ITER at levels 5625/11250 and the on-TPU ladder
+            failures); Krylov deflates the handful of outlier modes the
+            stationary iteration cannot, restoring ~state-eps directions
+            at 1 factor apply + 1 O(nnz) matvec per iteration with early
+            exit (typically 2-3 iterations).
+
+            FALLBACK (banded_pcg_refine = 0): monotone-safeguarded
+            Richardson, mirroring ops/linalg.newton_system_solve (an
+            unstable factor amplifies refinement explosively — measured
+            rd 1e12 after 3 unguarded sweeps, RESULTS.md "level-704");
+            keep the better iterate by true residual."""
             def solve(r):
-                r = r.astype(kdt)
+                r = (r * s_flat).astype(kdt)
                 rp = (jnp.concatenate([r, jnp.zeros((pad,), kdt)])
                       if pad else r)
                 z = block_solve(rp.reshape(nb, b)).reshape(-1).astype(dt)
-                return z[:n] if pad else z
+                z = (z[:n] if pad else z) * s_flat
+                return z
+
+            pcg_iters = int(getattr(settings, "banded_pcg_refine", 0))
+            if pcg_iters > 0:
+                from .ops.cg import pcg
+                tol = 1e-9 if dt == jnp.dtype(jnp.float64) else 1e-5
+                dx, _, rel = pcg(Kmv, rhs, solve, tol, pcg_iters)
+                rn = rel * jnp.maximum(jnp.linalg.norm(rhs),
+                                       jnp.asarray(1e-30, dt))
+                return dx, rn
 
             dx = solve(rhs)
             r = rhs - Kmv(dx)

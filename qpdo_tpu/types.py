@@ -250,6 +250,24 @@ class Settings:
     # round 4).  The gate costs one O(nnz) matvec the refinement already
     # pays; the scan branch executes only on the rare cancellation step.
     banded_cr_fallback_rtol: float = 1e-3
+    # Symmetric Jacobi equilibration of the banded KKT factorization:
+    # factor S K S (S = diag(K)^{-1/2}, computed in the state dtype
+    # before the kkt_dtype downcast) and unscale the direction.  On
+    # aggressive mu schedules cond(K) ~ 1/mu_min is dominated by diagonal
+    # scale disparity, which puts float32 refinement exactly at its
+    # convergence boundary (cond*eps32 ~ 1 — the round-4 on-TPU ladder
+    # failures at n>=5625); the scaled system's diagonal is exactly 1.
+    # O(n) per assembly.  Off reproduces the raw-K factorization.
+    banded_jacobi_scale: bool = True
+    # Refinement mode of the banded direct solve: > 0 = state-dtype PCG
+    # on the true system preconditioned by the reduced-precision factor
+    # (max Krylov iterations; early exit at rtol 1e-9 f64 / 1e-5 f32).
+    # At cond(K) ~ 1/mu_min the f32 factor floors at ~5e-2 direction
+    # error and Richardson refinement cannot contract (cond*eps32 > 1);
+    # Krylov deflates the outlier modes and restores ~state-eps
+    # directions (the round-4 LISWET-tail fix).  0 = the legacy
+    # monotone-safeguarded Richardson sweeps (refine_steps).
+    banded_pcg_refine: int = 32
     # Two-level preconditioning: add a coarse-grid correction
     # (piecewise-constant aggregates of precond_block columns, dense
     # coarse factor) on top of block-Jacobi — removes the low-frequency

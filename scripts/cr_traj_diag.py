@@ -170,18 +170,22 @@ def main():
                  + A64.T @ sps.diags(w) @ A64).toarray()
             dx_true = np.linalg.solve(K, rhs)
             condK = np.linalg.cond(K)
-            # banded blocks exactly as the solver assembles them (f32)
-            D, E = op._assemble_banded(jnp.asarray(w), jnp.asarray(sigma),
-                                       s_scan)
+            # banded blocks exactly as the solver assembles them (f32;
+            # round-4: including the symmetric Jacobi equilibration —
+            # the factor sees S K S, the wrapper applies dx = S z)
+            D, E, s_jac = op._assemble_banded(
+                jnp.asarray(w), jnp.asarray(sigma), s_scan)
+            s_full = np.asarray(s_jac).reshape(-1)
             rp_pad = np.zeros(nb * b)
             rp_pad[:n] = rhs
             line = [f"it={it:5d} cond={condK:8.2e} "
                     f"mu_min={mu.min():.1e} |rhs|={np.linalg.norm(rhs):.1e}"]
             for name, fac in variants:
                 solve32 = fac(D, E)
-                f32 = lambda v: np.asarray(
-                    solve32(jnp.asarray(v, jnp.float32).reshape(nb, b))
-                ).reshape(-1)[:n].astype(np.float64)
+                f32 = lambda v: (np.asarray(
+                    solve32(jnp.asarray(v * s_full,
+                                        jnp.float32).reshape(nb, b))
+                ).reshape(-1) * s_full)[:n].astype(np.float64)
                 dx = f32(rp_pad)
                 r = rhs - K @ dx
                 for _ in range(3):  # safeguarded refinement, as in-code

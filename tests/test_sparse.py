@@ -794,3 +794,48 @@ def test_f32_kkt_with_tiny_mu_warns():
 
     with pytest.warns(UnsafeSettingsWarning, match="mu_min"):
         validate_settings(qt.Settings(kkt_dtype="float32"))  # mu_min 1e-9
+
+
+def test_banded_stressed_conditioning_direction_accuracy():
+    """Round-4 regression: at cond(K) ~ 1/mu_min with kkt_dtype=float32
+    the banded direct solve must still deliver state-accurate directions.
+    The f32 factor alone floors at ~5e-2 relative error there and
+    Richardson refinement cannot contract (cond*eps32 > 1) — the fix is
+    symmetric Jacobi equilibration + PCG refinement preconditioned by
+    the f32 factor (banded_jacobi_scale/banded_pcg_refine).  Pin both:
+    the default path reaches 1e-8, the legacy Richardson mode does not."""
+    Q, q, A, l, u = _liswet_data(704, seed=5)
+    op = setup_sparse(Q, q, A, l, u)
+    assert op.bd_tmpl is not None
+    rng = np.random.default_rng(2)
+    m, n = A.shape
+    # the aggressive-mu active set: most rows at mu_min=1e-7, rest soft
+    mu = np.where(rng.random(m) < 0.7, 1e-7, 1.0)
+    active = (rng.random(m) < 0.8).astype(float)
+    sigma, rhs = 1e-4, rng.standard_normal(n)
+    w = active / mu
+
+    Ad = np.zeros((m, n))
+    ai = np.asarray(op.a_idx)
+    Ad[ai[:, 0], ai[:, 1]] = np.asarray(op.a_data)
+    Qd = np.zeros((n, n))
+    qi = np.asarray(op.q_idx)
+    Qd[qi[:, 0], qi[:, 1]] = np.asarray(op.q_data)
+    K = Qd + sigma * np.eye(n) + Ad.T @ (w[:, None] * Ad)
+    assert np.linalg.cond(K) > 1e6  # the stressed regime is real
+
+    def rel_res(settings):
+        dx = np.asarray(op._banded_solve(
+            jnp.asarray(w), jnp.asarray(sigma), jnp.asarray(rhs), settings))
+        return np.linalg.norm(rhs - K @ dx) / np.linalg.norm(rhs)
+
+    for algo in ("scan", "cr"):
+        base = qt.Settings(kkt_dtype="float32", banded_algo=algo)
+        r_new = rel_res(base)
+        assert r_new < 1e-7, f"{algo}: PCG-refined rel res {r_new:.2e}"
+        r_legacy = rel_res(base.replace(banded_pcg_refine=0,
+                                        refine_steps=3))
+        assert r_legacy > 10 * r_new, (
+            f"{algo}: legacy Richardson unexpectedly matched "
+            f"({r_legacy:.2e} vs {r_new:.2e}) — the regression test "
+            f"lost its teeth")

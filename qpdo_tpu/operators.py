@@ -251,11 +251,17 @@ class DenseOperator(NamedTuple):
                      ytilde=None, res_dual_in=None):
         from .ops.linalg import newton_system_solve
         d = self.sp.data
+        pcg_iters = settings.kkt_pcg_refine
+        if pcg_iters < 0:  # AUTO: only the f32-factor/tiny-mu regime pays
+            reduced = (settings.kkt_dtype is not None
+                       and jnp.dtype(settings.kkt_dtype) != self.dtype)
+            pcg_iters = 32 if (reduced and settings.mu_min < 1e-7) else 0
         return newton_system_solve(d.Q, d.A, active, mu, sigma, rhs,
                                    settings.proximal, settings.refine_steps,
                                    settings.kkt_dtype,
                                    settings.pallas_formation,
-                                   ytilde, res_dual_in)
+                                   ytilde, res_dual_in,
+                                   pcg_refine=pcg_iters)
 
     # -- Incremental KKT formation (Settings.kkt_update_rows > 0): the
     # TPU analogue of the reference's rank-k factor updates

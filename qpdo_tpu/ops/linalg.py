@@ -126,7 +126,8 @@ def _exact_kmv(Q, A, w, sigma, proximal: bool, kdt, dt):
 def newton_system_solve(Q, A, active, mu, sigma, rhs, proximal: bool,
                         refine_steps: int = 0, kkt_dtype=None,
                         pallas_formation: bool = False,
-                        ytilde=None, res_dual_in=None):
+                        ytilde=None, res_dual_in=None,
+                        pcg_refine: int = 0):
     """Form K and solve K dx = rhs (the factorization event of newton.c:21-49).
 
     With ``kkt_dtype`` set (e.g. float32 while the state is float64), the
@@ -186,6 +187,30 @@ def newton_system_solve(Q, A, active, mu, sigma, rhs, proximal: bool,
     chol, dinv = jacobi_cholesky(K)
     solve1 = _prescaled_tri_solver(chol, dinv, dt)
     Kmv = _exact_kmv(Q, A, w, sigma, proximal, kdt, dt)
+
+    if pcg_refine > 0:
+        # PCG refinement preconditioned by the reduced-precision factor,
+        # with TRUE state-dtype matvecs: at cond(K) ~ 1/mu beyond ~1e7
+        # the f32 factor's direction error floors at O(1e-2) and the
+        # Richardson sweeps below cannot contract (cond*eps(kdt) > 1);
+        # Krylov deflates the outlier modes and restores state-eps
+        # directions (the round-4 banded-path fix applied to the dense
+        # path; engaged via Settings.kkt_pcg_refine — auto when
+        # kkt_dtype is reduced AND mu_min < 1e-7, i.e. exactly the
+        # regime the reference's f64 LDL' handles at its mu_min=1e-9
+        # default, constants.h:55).
+        from .cg import pcg
+
+        def Kmv_exact(v):
+            Kv = Q @ v + A.T @ (w * (A @ v))
+            if proximal:
+                Kv = Kv + sigma * v
+            return Kv
+
+        tol = 1e-9 if dt == jnp.dtype(jnp.float64) else 1e-5
+        dx, _, _ = pcg(Kmv_exact, rhs, solve1, tol, pcg_refine)
+        finite = jnp.all(jnp.isfinite(dx))
+        return jnp.where(finite, dx, jnp.zeros_like(dx))
 
     def resid(v):
         return rhs - Kmv(v)

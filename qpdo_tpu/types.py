@@ -94,10 +94,13 @@ class Settings:
     # solver state is float64): keeps the O(mn^2)+O(n^3) work on the fast
     # MXU path, with refinement recovering state-dtype accuracy.
     # None = same dtype as the problem data.
-    # NOTE: a float32 factorization cannot carry cond(K) ~ 1/mu beyond
-    # ~1e7; combine kkt_dtype="float32" with mu_min >= 1e-7, or the dual
-    # residual floors around 1e-5 on problems whose penalties collapse
-    # (warm starts and degenerate actives are the typical triggers).
+    # NOTE: a bare float32 factorization cannot carry cond(K) ~ 1/mu
+    # beyond ~1e7 — but with the round-4 default kkt_pcg_refine=-1
+    # (auto), mu_min < 1e-7 engages Krylov refinement that restores
+    # state-accurate directions, so kkt_dtype="float32" is safe even at
+    # the reference's mu_min=1e-9 default.  Set mu_min >= 1e-7 where the
+    # cheaper Richardson refinement suffices (all the shipped bench
+    # configs do).
     kkt_dtype: str | None = None
     # Two-phase precision ("hybrid warmup"): run the whole solver in float32
     # to ``warmup_eps`` (with a float32-safe mu floor), then upcast the
@@ -268,6 +271,17 @@ class Settings:
     # directions (the round-4 LISWET-tail fix).  0 = the legacy
     # monotone-safeguarded Richardson sweeps (refine_steps).
     banded_pcg_refine: int = 32
+    # Dense-path analogue of banded_pcg_refine: PCG refinement of the
+    # dense Newton solve, preconditioned by the kkt_dtype Cholesky, with
+    # exact state-dtype matvecs.  -1 = AUTO: engage (32 iterations) only
+    # when kkt_dtype is reduced AND mu_min < 1e-7 — exactly the regime
+    # where the f32 factor floors at O(1e-2) direction error and the
+    # Richardson sweeps (refine_steps) cannot contract; everywhere else
+    # the cheap Richardson path is untouched (the bench hot loop never
+    # pays).  0 = off; > 0 = force that iteration cap.  This makes
+    # kkt_dtype="float32" safe at the reference's own mu_min=1e-9
+    # default (constants.h:55) on the dense path.
+    kkt_pcg_refine: int = -1
     # Two-level preconditioning: add a coarse-grid correction
     # (piecewise-constant aggregates of precond_block columns, dense
     # coarse factor) on top of block-Jacobi — removes the low-frequency

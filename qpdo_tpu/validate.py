@@ -135,25 +135,32 @@ def _warn_unsafe_combos(s: Settings) -> None:
     (validate.c:34-170); these cross-field rules come from this
     framework's own measurements and previously lived only in docs —
     a user could silently configure a known divergence class."""
-    if s.kkt_dtype == "float32" and s.mu_min < 1e-7:
+    if (s.kkt_dtype == "float32" and s.mu_min < 1e-7
+            and s.kkt_pcg_refine == 0):
         warnings.warn(
-            "kkt_dtype='float32' with mu_min < 1e-7: a float32 "
-            "factorization cannot carry cond(K) ~ 1/mu beyond ~1e7 — "
-            "the dual step divides by mu and amplifies factor noise "
-            "explosively (RESULTS.md 'level-704').  Set mu_min >= 1e-7 "
-            "(>= 1e-6 for aggressive mu schedules) or keep the "
+            "kkt_dtype='float32' with mu_min < 1e-7 and PCG refinement "
+            "disabled (kkt_pcg_refine=0): a float32 factorization alone "
+            "cannot carry cond(K) ~ 1/mu beyond ~1e7 — the dual step "
+            "divides by mu and amplifies factor noise explosively "
+            "(RESULTS.md 'level-704').  Leave kkt_pcg_refine at -1 "
+            "(auto: Krylov refinement restores state-accuracy exactly "
+            "in this regime), set mu_min >= 1e-7, or keep the "
             "factorization in float64 (kkt_dtype=None).",
             UnsafeSettingsWarning, stacklevel=3)
     if (s.kkt_dtype == "float32" and s.banded_algo in ("cr", "auto")
-            and s.banded_cr_fallback_rtol == 0 and s.mu_min < 1e-6):
+            and s.banded_cr_fallback_rtol == 0 and s.mu_min < 1e-6
+            and (not s.banded_jacobi_scale or s.banded_pcg_refine == 0)):
         warnings.warn(
             "banded_algo='cr' with the accuracy gate disabled "
-            "(banded_cr_fallback_rtol=0), a float32 factorization, and "
-            "mu_min < 1e-6: float32 cyclic reduction suffers "
-            "catastrophic Schur-update cancellation at cond(K) ~ 1e7 on "
-            "specific active-set configurations, at any depth "
-            "(RESULTS.md 'level-704').  Keep the gate on (default "
-            "1e-3), use banded_algo='scan', or raise mu_min.",
+            "(banded_cr_fallback_rtol=0), a float32 factorization, "
+            "mu_min < 1e-6, and the round-4 stability defaults off "
+            "(banded_jacobi_scale/banded_pcg_refine): float32 cyclic "
+            "reduction suffers catastrophic Schur-update cancellation "
+            "at cond(K) ~ 1e7 on specific active-set configurations, "
+            "at any depth (RESULTS.md 'level-704').  Keep the defaults "
+            "(Jacobi equilibration removes the cancellation class; PCG "
+            "refinement restores state accuracy), keep the gate on, "
+            "use banded_algo='scan', or raise mu_min.",
             UnsafeSettingsWarning, stacklevel=3)
 
 

@@ -564,3 +564,37 @@ def test_qmv2_stacks_exactly():
                                rtol=1e-13, atol=1e-15)
     np.testing.assert_allclose(np.asarray(ab), np.asarray(op.Amv(xb)),
                                rtol=1e-13, atol=1e-15)
+
+
+def test_f32_kkt_at_reference_mu_min():
+    """Round-4 capability: kkt_dtype="float32" now works at the
+    REFERENCE's own mu_min=1e-9 default (constants.h:55) on the dense
+    path — the auto PCG refinement (Settings.kkt_pcg_refine=-1) engages
+    in the tiny-mu regime and restores state-accurate directions where
+    the bare f32 factor floors at O(1e-2).  Previously this combo was a
+    documented divergence class (CLAUDE.md rule: mu_min >= 1e-7)."""
+    import scipy.sparse as sps
+
+    n = 300
+    rng = np.random.default_rng(0)
+    d = np.sin(4 * np.pi * np.linspace(0, 1, n)) \
+        + 0.1 * rng.standard_normal(n)
+    Q = np.eye(n) * (1.0 + 1e-3)
+    m = n - 2
+    rows = np.repeat(np.arange(m), 3)
+    cols = (np.arange(m)[:, None] + np.array([0, 1, 2])[None, :]).ravel()
+    vals = np.tile(np.array([1.0, -2.0, 1.0]), m)
+    A = np.asarray(sps.csr_matrix((vals, (rows, cols)),
+                                  shape=(m, n)).todense())
+    p = qt.make_problem(Q, -d, A, np.zeros(m), np.full(m, np.inf))
+    # the aggressive mu schedule drives mu to the floor
+    s = qt.Settings(eps_abs=1e-6, max_iter=20000, inner_max_iter=100,
+                    eps_abs_in=0.1, rho=0.2, delta=1e-4, theta=0.9,
+                    kkt_dtype="float32", mu_min=1e-9)
+    r = qt.solve(p, settings=s)
+    assert int(r.info.status_val) == qt.SOLVED
+    x, y = np.asarray(r.x), np.asarray(r.y)
+    Ax = A @ x
+    rp = np.max(np.abs(Ax - np.clip(Ax + y, 0.0, np.inf)))
+    rd = np.max(np.abs(Q @ x - d + A.T @ y))
+    assert max(rp, rd) < 2e-6, (rp, rd)

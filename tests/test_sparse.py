@@ -776,10 +776,12 @@ def test_cr_without_gate_warns_on_aggressive_mu():
     from qpdo_tpu.validate import UnsafeSettingsWarning, validate_settings
 
     s = qt.Settings(kkt_dtype="float32", mu_min=1e-7, banded_algo="cr",
-                    banded_cr_fallback_rtol=0.0)
+                    banded_cr_fallback_rtol=0.0, banded_pcg_refine=0)
     with pytest.warns(UnsafeSettingsWarning, match="cyclic reduction"):
         validate_settings(s)
-    # the default configuration (gate on) must be warning-free
+    # the default configuration (gate + round-4 stability defaults on)
+    # must be warning-free — Jacobi equilibration removes the CR
+    # cancellation class and PCG refinement restores state accuracy
     s_ok = qt.Settings(kkt_dtype="float32", mu_min=1e-7)
     with _w.catch_warnings():
         _w.simplefilter("error", UnsafeSettingsWarning)
@@ -787,13 +789,22 @@ def test_cr_without_gate_warns_on_aggressive_mu():
 
 
 def test_f32_kkt_with_tiny_mu_warns():
-    """kkt_dtype=float32 + mu_min < 1e-7 is the documented divergence
-    class (a float32 factor cannot carry cond ~ 1/mu beyond ~1e7) — the
-    CLAUDE.md rule is now a code-level guard."""
+    """kkt_dtype=float32 + mu_min < 1e-7 with the PCG refinement forced
+    OFF is the documented divergence class (a bare float32 factor cannot
+    carry cond ~ 1/mu beyond ~1e7).  With the round-4 default
+    (kkt_pcg_refine=-1 auto) the combo is SAFE — Krylov refinement
+    engages exactly in this regime — so the default must be
+    warning-free, including at the reference's own mu_min=1e-9."""
+    import warnings as _w
+
     from qpdo_tpu.validate import UnsafeSettingsWarning, validate_settings
 
     with pytest.warns(UnsafeSettingsWarning, match="mu_min"):
-        validate_settings(qt.Settings(kkt_dtype="float32"))  # mu_min 1e-9
+        validate_settings(qt.Settings(kkt_dtype="float32",
+                                      kkt_pcg_refine=0))  # mu_min 1e-9
+    with _w.catch_warnings():
+        _w.simplefilter("error", UnsafeSettingsWarning)
+        validate_settings(qt.Settings(kkt_dtype="float32"))  # auto PCG
 
 
 def test_banded_stressed_conditioning_direction_accuracy():

@@ -322,13 +322,18 @@ def main():
                                os.environ.get("QPDO_BENCH_POLISH", "1"))),
                            # in-loop Pallas A/B (round-3 verdict item 2):
                            # QPDO_BENCH_PALLAS in {"", "formation",
-                           # "residuals", "both"}
+                           # "residuals", "both", "kkt", "all"} — "kkt"
+                           # fuses the whole Newton solve into one kernel
+                           # (ops/pallas_kkt.py), "all" = kkt + residuals
                            pallas_formation=os.environ.get(
                                "QPDO_BENCH_PALLAS", "") in
                                ("formation", "both"),
                            pallas_residuals=os.environ.get(
                                "QPDO_BENCH_PALLAS", "") in
-                               ("residuals", "both"),
+                               ("residuals", "both", "all"),
+                           pallas_kkt=os.environ.get(
+                               "QPDO_BENCH_PALLAS", "") in
+                               ("kkt", "all"),
                            # op-count cut A/B (round-3 verdict item 6)
                            fused_newton_rhs=bool(int(os.environ.get(
                                "QPDO_BENCH_FUSEDRHS", "0"))))

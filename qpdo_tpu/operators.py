@@ -261,7 +261,8 @@ class DenseOperator(NamedTuple):
                                    settings.kkt_dtype,
                                    settings.pallas_formation,
                                    ytilde, res_dual_in,
-                                   pcg_refine=pcg_iters)
+                                   pcg_refine=pcg_iters,
+                                   pallas_kkt=settings.pallas_kkt)
 
     # -- Incremental KKT formation (Settings.kkt_update_rows > 0): the
     # TPU analogue of the reference's rank-k factor updates

@@ -127,7 +127,8 @@ def newton_system_solve(Q, A, active, mu, sigma, rhs, proximal: bool,
                         refine_steps: int = 0, kkt_dtype=None,
                         pallas_formation: bool = False,
                         ytilde=None, res_dual_in=None,
-                        pcg_refine: int = 0):
+                        pcg_refine: int = 0,
+                        pallas_kkt: bool = False):
     """Form K and solve K dx = rhs (the factorization event of newton.c:21-49).
 
     With ``kkt_dtype`` set (e.g. float32 while the state is float64), the
@@ -155,6 +156,54 @@ def newton_system_solve(Q, A, active, mu, sigma, rhs, proximal: bool,
     w = active / mu
     on_cpu = jax.default_backend() == "cpu"
     fused_rhs = ytilde is not None
+    if pallas_kkt and (on_cpu or kdt == jnp.dtype(jnp.float32)):
+        # THE WHOLE NEWTON SOLVE AS ONE KERNEL (ops/pallas_kkt.py):
+        # formation + Jacobi scaling + Cholesky + both substitutions in
+        # VMEM — replaces XLA's formation GEMM, its many-kernel blocked
+        # Cholesky, and two triangular solves with a single launch per
+        # batch.  The round-4 corrected peak probes showed the bench
+        # iteration is launch/latency-bound (honest MFU 3% on a 4.3
+        # TFLOPS chip state), which is exactly the regime this kernel
+        # targets.  f32 internally (TPU Pallas has no f64); refinement
+        # below re-invokes the kernel (a refactorization per sweep —
+        # use refine_steps 0 and let the caller's PCG/Richardson run
+        # only where needed).
+        from .pallas_kkt import fused_kkt_solve
+        if fused_rhs:
+            rhs = -(res_dual_in
+                    + (A.T.astype(kdt) @ ytilde.astype(kdt)).astype(dt))
+        sig_eff = jnp.asarray(sigma, jnp.float32) if proximal \
+            else jnp.zeros((), jnp.float32)
+
+        def ksolve(r):
+            return fused_kkt_solve(
+                Q[None], A[None], w[None], sig_eff[None],
+                r.astype(jnp.float32)[None],
+                interpret=on_cpu)[0].astype(dt)
+
+        dx = ksolve(rhs)
+        if pcg_refine > 0:
+            from .cg import pcg
+
+            def Kmv_exact(v):
+                Kv = Q @ v + A.T @ (w * (A @ v))
+                if proximal:
+                    Kv = Kv + sigma * v
+                return Kv
+
+            tol = 1e-9 if dt == jnp.dtype(jnp.float64) else 1e-5
+            dx, _, _ = pcg(Kmv_exact, rhs, ksolve, tol, pcg_refine)
+        elif refine_steps > 0:
+            Kmv = _exact_kmv(Q, A, w, sigma, proximal, kdt, dt)
+            r = rhs - Kmv(dx)
+            for _ in range(refine_steps):
+                dx_new = dx + ksolve(r)
+                r_new = rhs - Kmv(dx_new)
+                better = jnp.linalg.norm(r_new) < jnp.linalg.norm(r)
+                dx = jnp.where(better, dx_new, dx)
+                r = jnp.where(better, r_new, r)
+        finite = jnp.all(jnp.isfinite(dx))
+        return jnp.where(finite, dx, jnp.zeros_like(dx))
     if fused_rhs and not pallas_formation:
         Ak = A.astype(kdt)
         AwY = jnp.concatenate(

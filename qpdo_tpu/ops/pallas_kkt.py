@@ -138,6 +138,58 @@ def pallas_kkt_solve(Q, A, w, sigma, rhs, interpret: bool = False):
     return out.reshape(B, n)
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_core(interpret: bool):
+    """custom_vmap wrapper for the in-loop fused KKT solve: vmapping
+    collapses the mapped axis into the leading batch axis (one
+    pallas_call over V*B) instead of pallas_call's generic batching
+    rule, which Mosaic fails to legalize on this toolchain
+    ("func.return (i32, i64, i64)" — the round-4 finding that killed the
+    first formation/residuals A/B; same fix as their _core wrappers)."""
+
+    @jax.custom_batching.custom_vmap
+    def f(Q, A, w, sigma, rhs):
+        return pallas_kkt_solve(Q, A, w, sigma, rhs, interpret=interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [a if b else
+                jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                for a, b in zip(args, in_batched)]
+        V, B = axis_size, args[0].shape[1]
+        flat = [a.reshape((V * B,) + a.shape[2:]) for a in args]
+        dx = f(*flat)
+        return dx.reshape((V, B) + dx.shape[1:]), True
+
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_kkt_solve(Q, A, w, sigma, rhs, interpret: bool = False):
+    """In-loop entry: `pallas_kkt_solve` with inert zero-padding to the
+    lane multiples the kernel requires (n, m -> multiples of 128) and a
+    vmap-collapse rule.
+
+    Padding is inert by construction: padded A rows carry w = 0 (they
+    cannot contribute to K), padded Q diagonal entries are 1 (the padded
+    block of K is the identity), and the padded rhs lanes are 0, so the
+    padded dx lanes solve 1*dx = 0.  Returns dx (B, n) in float32."""
+    B, n = rhs.shape
+    m = A.shape[1]
+    npad = -(-n // 128) * 128
+    mpad = -(-m // 128) * 128
+    if npad != n or mpad != m:
+        Q = jnp.pad(Q, ((0, 0), (0, npad - n), (0, npad - n)))
+        if npad != n:  # unit diagonal on the padded block keeps K SPD
+            idx = jnp.arange(n, npad)
+            Q = Q.at[:, idx, idx].set(1.0)
+        A = jnp.pad(A, ((0, 0), (0, mpad - m), (0, npad - n)))
+        w = jnp.pad(w, ((0, 0), (0, mpad - m)))
+        rhs = jnp.pad(rhs, ((0, 0), (0, npad - n)))
+    dx = _fused_core(bool(interpret))(Q, A, w, sigma, rhs)
+    return dx[:, :n]
+
+
 # ---------------------------------------------------------------------------
 # Batch-in-sublanes stacked Cholesky + solves (round-2 kernel)
 # ---------------------------------------------------------------------------

@@ -302,6 +302,16 @@ class Settings:
     # computation (outer/inner residuals, w, active, 4 norms) in one
     # launch (ops/pallas_residuals.py).
     pallas_residuals: bool = False
+    # Dense path: run the ENTIRE Newton solve (KKT formation + Jacobi
+    # scaling + Cholesky + both substitutions) as one Pallas kernel per
+    # batch (ops/pallas_kkt.py fused_kkt_solve) instead of XLA's
+    # formation GEMM + many-kernel blocked Cholesky + two triangular
+    # solves.  Targets launch/latency-bound chip states (the round-4
+    # corrected probes: honest MFU 3% on a 4.3 TFLOPS part).  float32
+    # internally; engages only when the formation dtype is float32 on
+    # device (interpret mode on CPU).  Refinement sweeps re-invoke the
+    # kernel (a refactorization each) — pair with refine_steps 0.
+    pallas_kkt: bool = False
     # Crash-resilient segmented driving (host-chunked paths only, i.e.
     # when max_time/verbose route through solve_driven): number of
     # device/worker-crash recoveries to attempt.  Each completed chunk's

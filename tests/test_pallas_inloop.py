@@ -126,3 +126,42 @@ def test_vmap_collapses_into_kernel_batch_axis():
     K_ref = jax.vmap(reference_formation)(A, w, Q, sig)
     np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_inloop_pallas_kkt_solves_and_verifies():
+    """Settings.pallas_kkt: the whole Newton solve as ONE kernel
+    (formation + Jacobi scaling + Cholesky + substitutions, f32
+    internally).  Unlike the formation/residuals kernels it is NOT
+    bit-identical to the XLA path (different factorization algorithm),
+    so pin the solution class, not the trajectory: statuses match, the
+    iteration count stays in class vs the f32-KKT baseline, and every
+    solve oracle-verifies — single and vmapped."""
+    import jax
+    import jax.numpy as jnp
+
+    for seed in range(4):
+        prob = _problem(seed=seed)
+        Q, q, A, l, u = (np.asarray(a) for a in
+                         (prob.Q, prob.q, prob.A, prob.l, prob.u))
+        base = qt.Settings(kkt_dtype="float32", mu_min=1e-7,
+                           refine_steps=2)
+        r0 = qt.solve(prob, settings=base)
+        r1 = qt.solve(prob, settings=base.replace(pallas_kkt=True))
+        assert int(r1.info.status_val) == int(r0.info.status_val) \
+            == qt.SOLVED
+        assert abs(int(r1.info.iterations) - int(r0.info.iterations)) <= 5
+        rp, rd = kkt_residuals(Q, q, A, l, u, r1.x, r1.y)
+        assert max(rp, rd) <= 1e-6
+
+    # vmapped (the bench execution shape)
+    probs = [_problem(seed=10 + s) for s in range(3)]
+    batch = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *probs)
+    rb = solve_batch(batch, settings=qt.Settings(
+        kkt_dtype="float32", mu_min=1e-7, refine_steps=2,
+        pallas_kkt=True))
+    assert np.all(np.asarray(rb.info.status_val) == qt.SOLVED)
+    for i, p in enumerate(probs):
+        rp, rd = kkt_residuals(np.asarray(p.Q), np.asarray(p.q),
+                               np.asarray(p.A), np.asarray(p.l),
+                               np.asarray(p.u), rb.x[i], rb.y[i])
+        assert max(rp, rd) <= 1e-6

@@ -17,6 +17,7 @@ run() {
   grep -v -e WARNING -e "^#" "logs/${name}.log" | tail -4
 }
 
+run pallas_repro_tpu_r4   6000 python scripts/pallas_lowering_repro.py
 run per_op_profile_tpu_r4 6000 python scripts/tpu_per_op_profile.py
 
 echo "=== queue r4c done $(date +%H:%M:%S) ==="

@@ -50,16 +50,22 @@ def _impl(A, w, Q, sigma, interpret: bool):
     Q_p = jnp.pad(Q, ((0, 0), (0, npad - n), (0, npad - n)))
     sig = sigma.reshape(B, 1, 1).astype(dt)
 
-    spec = lambda *blk: pl.BlockSpec(blk, lambda b: (b,) + (0,) * (len(blk) - 1),
-                                     memory_space=pltpu.VMEM)
-    K = pl.pallas_call(
-        _kernel,
-        grid=(B,),
-        in_specs=[spec(1, mp, npad), spec(1, mp, 1),
-                  spec(1, npad, npad), spec(1, 1, 1)],
-        out_specs=spec(1, npad, npad),
-        out_shape=jax.ShapeDtypeStruct((B, npad, npad), dt),
-        interpret=interpret,
+    # index-map constants must be explicit int32: under jax_enable_x64 a
+    # Python-int 0 canonicalizes to i64 and Mosaic fails to legalize the
+    # index-map func.return (i32, i64, i64) — logs/bench_r4h_pallas_both.log
+    spec = lambda *blk: pl.BlockSpec(
+        blk, lambda b: (b,) + (jnp.int32(0),) * (len(blk) - 1),
+        memory_space=pltpu.VMEM)
+    from .pallas_util import x32_trace_scope
+    with x32_trace_scope(dt):
+        K = pl.pallas_call(
+            _kernel,
+            grid=(B,),
+            in_specs=[spec(1, mp, npad), spec(1, mp, 1),
+                      spec(1, npad, npad), spec(1, 1, 1)],
+            out_specs=spec(1, npad, npad),
+            out_shape=jax.ShapeDtypeStruct((B, npad, npad), dt),
+            interpret=interpret,
     )(A_p, w_p, Q_p, sig)
     return K[:, :n, :n]
 

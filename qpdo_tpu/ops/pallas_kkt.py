@@ -28,6 +28,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .linalg import _static_reg
+from .pallas_util import x32_trace_scope
+
+
+def _take_b3(b):
+    """Index map (b, 0, 0) with explicit int32 zeros (Mosaic-safe under
+    jax_enable_x64 — see pallas_util.x32_trace_scope)."""
+    return (b, jnp.int32(0), jnp.int32(0))
 
 
 def _kkt_kernel(Qs_ref, A_ref, w_ref, rhs_ref, dx_ref, K_ref):
@@ -76,7 +83,8 @@ def _kkt_kernel(Qs_ref, A_ref, w_ref, rhs_ref, dx_ref, K_ref):
         K_ref[:] = K_ref[:] - jnp.where(row > j, upd, 0.0)
         return carry
 
-    jax.lax.fori_loop(0, n, chol_body, 0)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), chol_body,
+                      jnp.int32(0))
 
     # ---- forward: R' z = dinv*rhs  (row-oriented: eliminate with row j) --
     b = rhs_ref[0, 0, :].reshape(1, n) * dinv[None, :]         # (1, n)
@@ -89,7 +97,7 @@ def _kkt_kernel(Qs_ref, A_ref, w_ref, rhs_ref, dx_ref, K_ref):
         return jnp.where(lane == j, zj,
                          b_ - zj * jnp.where(lane > j, rowj, 0.0))
 
-    z = jax.lax.fori_loop(0, n, fwd_body, b)                   # (1, n)
+    z = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), fwd_body, b)                   # (1, n)
 
     # ---- backward: R x = z ----
     def bwd_body(k, x):
@@ -100,7 +108,7 @@ def _kkt_kernel(Qs_ref, A_ref, w_ref, rhs_ref, dx_ref, K_ref):
         xj = (jnp.sum(jnp.where(lane == j, z, 0.0)) - dotv) / diagj
         return jnp.where(lane == j, xj, x)
 
-    x = jax.lax.fori_loop(0, n, bwd_body, z)                   # (1, n)
+    x = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), bwd_body, z)                   # (1, n)
     dx_ref[0, 0, :] = (x * dinv[None, :])[0, :]
 
 
@@ -120,21 +128,25 @@ def pallas_kkt_solve(Q, A, w, sigma, rhs, interpret: bool = False):
     w = w.astype(f32).reshape(B, 1, m)
     rhs = rhs.astype(f32).reshape(B, 1, n)
 
-    take_b = lambda b: (b, 0, 0)
-    out = pl.pallas_call(
-        _kkt_kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, n, n), take_b, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, n), take_b, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m), take_b, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), take_b, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, n), take_b, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1, n), f32),
-        scratch_shapes=[pltpu.VMEM((n, n), f32)],
-        interpret=interpret,
-    )(Qs, A, w, rhs)
+    # explicit int32 zeros: under jax_enable_x64 Python-int index-map
+    # constants canonicalize to i64, which Mosaic cannot legalize
+    take_b = lambda b: (b, jnp.int32(0), jnp.int32(0))
+    with x32_trace_scope():
+        out = pl.pallas_call(
+            _kkt_kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, n, n), take_b, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, m, n), take_b, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, m), take_b, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n), take_b, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, n), take_b,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, 1, n), f32),
+            scratch_shapes=[pltpu.VMEM((n, n), f32)],
+            interpret=interpret,
+        )(Qs, A, w, rhs)
     return out.reshape(B, n)
 
 
@@ -181,7 +193,7 @@ def fused_kkt_solve(Q, A, w, sigma, rhs, interpret: bool = False):
     if npad != n or mpad != m:
         Q = jnp.pad(Q, ((0, 0), (0, npad - n), (0, npad - n)))
         if npad != n:  # unit diagonal on the padded block keeps K SPD
-            idx = jnp.arange(n, npad)
+            idx = jnp.arange(n, npad, dtype=jnp.int32)
             Q = Q.at[:, idx, idx].set(1.0)
         A = jnp.pad(A, ((0, 0), (0, mpad - m), (0, npad - n)))
         w = jnp.pad(w, ((0, 0), (0, mpad - m)))
@@ -252,7 +264,8 @@ def _stacked_chol_kernel(K_ref, rhs_ref, dx_ref):
             K_ref[0, pl.ds(j + g * n, 1), :] = Rrows[g:g + 1, :]
         return carry
 
-    jax.lax.fori_loop(0, n, chol_body, 0)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), chol_body,
+                      jnp.int32(0))
 
     # forward substitution  R' z = b   (all G problems as (G, n) lanes)
     def fwd_body(j, b):
@@ -264,7 +277,8 @@ def _stacked_chol_kernel(K_ref, rhs_ref, dx_ref):
         b = b - zj * jnp.where(lane1 > j, rows, 0.0)
         return jnp.where(lane1 == j, zj, b)
 
-    z = jax.lax.fori_loop(0, n, fwd_body, rhs_ref[0])
+    z = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), fwd_body,
+                      rhs_ref[0])
 
     # back substitution  R x = z
     def bwd_body(t, x):
@@ -278,7 +292,7 @@ def _stacked_chol_kernel(K_ref, rhs_ref, dx_ref):
         xj = (zj - dotv) / rjj
         return jnp.where(lane1 == j, xj, x)
 
-    dx_ref[0] = jax.lax.fori_loop(0, n, bwd_body, z)
+    dx_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), bwd_body, z)
 
 
 @functools.partial(jax.jit, static_argnames=("group", "interpret"))
@@ -298,18 +312,19 @@ def pallas_chol_solve_stacked(K, rhs, group: int = 8,
     Ks = K.astype(f32).reshape(B // G, G * n, n)
     rhs_s = rhs.astype(f32).reshape(B // G, G, n)
 
-    out = pl.pallas_call(
-        _stacked_chol_kernel,
-        grid=(B // G,),
-        in_specs=[
-            pl.BlockSpec((1, G * n, n), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, n), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, G, n), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B // G, G, n), f32),
-        interpret=interpret,
-    )(Ks, rhs_s)
+    with x32_trace_scope():
+        out = pl.pallas_call(
+            _stacked_chol_kernel,
+            grid=(B // G,),
+            in_specs=[
+                pl.BlockSpec((1, G * n, n), _take_b3,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G, n), _take_b3,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, G, n), _take_b3,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B // G, G, n), f32),
+            interpret=interpret,
+        )(Ks, rhs_s)
     return out.reshape(B, n)

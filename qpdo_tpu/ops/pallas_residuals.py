@@ -105,21 +105,23 @@ def _impl(Ax, y, mu, ybar, l, u, E, Einv,
     prims = [_pad_to(a, npad) for a in (Qx, q, Aty, x, xbar, Dinv)]
     scal = [sigma.reshape(B, 1).astype(dt), cinv.reshape(B, 1).astype(dt)]
 
+    from .pallas_util import x32_trace_scope
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
+    with x32_trace_scope(dt):
+        outs = pl.pallas_call(
         _kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, mp), dt),   # res_prim
-            jax.ShapeDtypeStruct((B, mp), dt),   # res_prim_in
-            jax.ShapeDtypeStruct((B, mp), dt),   # w
-            jax.ShapeDtypeStruct((B, mp), dt),   # active
-            jax.ShapeDtypeStruct((B, npad), dt),  # res_dual_in
-            jax.ShapeDtypeStruct((B, 4), dt),    # norms
-        ),
-        in_specs=[vspec] * 16,
-        out_specs=(vspec,) * 6,
-        interpret=interpret,
-    )(*duals, *prims, *scal)
+            out_shape=(
+                jax.ShapeDtypeStruct((B, mp), dt),   # res_prim
+                jax.ShapeDtypeStruct((B, mp), dt),   # res_prim_in
+                jax.ShapeDtypeStruct((B, mp), dt),   # w
+                jax.ShapeDtypeStruct((B, mp), dt),   # active
+                jax.ShapeDtypeStruct((B, npad), dt),  # res_dual_in
+                jax.ShapeDtypeStruct((B, 4), dt),    # norms
+            ),
+            in_specs=[vspec] * 16,
+            out_specs=(vspec,) * 6,
+            interpret=interpret,
+        )(*duals, *prims, *scal)
     res_prim, res_prim_in, w, active, res_dual_in, norms = outs
     return (res_prim[:, :m], res_prim_in[:, :m], w[:, :m], active[:, :m],
             res_dual_in[:, :n],

@@ -20,12 +20,20 @@ import jax
 plat = os.environ.get("QPDO_PROBE_PLATFORM")
 if plat:
     jax.config.update("jax_platforms", plat)
+    # importing examples/continuation below silently re-pins the platform
+    # to cpu unless this gate is set — the r4h "on-TPU" cr704 cell ran on
+    # CPU exactly this way (logs/cr704_tpu_r4b.log: "backend": "cpu")
+    if plat != "cpu":
+        os.environ["QPDO_EX_TPU"] = "1"
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo/examples")
 from continuation import liswet  # noqa: E402
+
+if plat:  # the import above may have re-pinned it; assert-and-restore
+    jax.config.update("jax_platforms", plat)
 
 import qpdo_tpu as qt  # noqa: E402
 

@@ -108,6 +108,33 @@ def main():
     try_compile("F_residuals_standalone", lambda *a:
                 fused_residuals(*a), *dual, *prim, sig, sig)
 
+    # ---- G cells: jax_enable_x64 ACTIVE (the bench's configuration) ----
+    # Round-4 finding: cells A-F all passed while every in-loop bench cell
+    # failed, because the repro never enabled x64.  Under x64, Python-int
+    # literals (ref indices, fori_loop bounds, index-map constants)
+    # canonicalize to i64 — the actual trigger of both Mosaic failures
+    # ("func.return (i32, i64, i64)" and the _convert_helper recursion).
+    # The kernels now trace inside pallas_util.x32_trace_scope; these
+    # cells prove the fix compiles on the real toolchain.
+    jax.config.update("jax_enable_x64", True)
+    try_compile("G_formation_x64", lambda a, ww, q, s:
+                fused_formation(a, ww, q, s), A, w, Q, sig)
+    try_compile("G_kkt_x64", lambda q, a, ww, s, r:
+                fused_kkt_solve(q, a, ww, s, r), Q, A, w, sig, rhs)
+    try_compile("G_residuals_x64", lambda *a:
+                fused_residuals(*a), *dual, *prim, sig, sig)
+
+    def solve_like_x64(a, ww, q, s):
+        def body(c):
+            k, acc = c
+            K = fused_formation(a[None], ww[None], q[None], s[None])[0]
+            return k + 1, acc + K[0, 0]
+
+        return jax.lax.while_loop(lambda c: c[0] < 3, body,
+                                  (jnp.int32(0), jnp.float32(0.0)))[1]
+
+    try_compile("G_vmap_while_x64", jax.vmap(solve_like_x64), A, w, Q, sig)
+
 
 if __name__ == "__main__":
     main()

@@ -165,3 +165,103 @@ def test_inloop_pallas_kkt_solves_and_verifies():
                                np.asarray(p.A), np.asarray(p.l),
                                np.asarray(p.u), rb.x[i], rb.y[i])
         assert max(rp, rd) <= 1e-6
+
+
+def _walk_jaxprs(jaxpr, found):
+    """Collect every pallas_call eqn in a jaxpr tree."""
+    import jax.extend as jex  # noqa: F401
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "pallas_call":
+            found.append(eqn)
+        for v in eqn.params.values():
+            inner = getattr(v, "jaxpr", None)
+            if inner is not None and hasattr(inner, "eqns"):
+                _walk_jaxprs(inner, found)
+            elif hasattr(v, "eqns"):
+                _walk_jaxprs(v, found)
+            elif isinstance(v, (tuple, list)):
+                for vv in v:
+                    inner = getattr(vv, "jaxpr", None)
+                    if inner is not None and hasattr(inner, "eqns"):
+                        _walk_jaxprs(inner, found)
+
+
+def _assert_no_64bit(jaxpr, where):
+    """No 64-bit aval anywhere inside a kernel jaxpr (Mosaic cannot lower
+    i64/f64; under jax_enable_x64 a stray Python-int literal becomes one —
+    the round-4 'func.return (i32, i64, i64)' / RecursionError class,
+    logs/bench_r4h_pallas_*.log)."""
+    import numpy as np
+
+    def check(aval, ctx):
+        dt = getattr(aval, "dtype", None)
+        if dt is not None:
+            assert np.dtype(dt).itemsize <= 4, (
+                f"64-bit {dt} leaked into {where} ({ctx})")
+
+    def rec(jx):
+        for v in list(jx.invars) + list(jx.outvars) + list(jx.constvars):
+            check(v.aval, "args")
+        for eqn in jx.eqns:
+            for v in eqn.invars:
+                check(v.aval, str(eqn.primitive))
+            for v in eqn.outvars:
+                check(v.aval, str(eqn.primitive))
+            for p in eqn.params.values():
+                inner = getattr(p, "jaxpr", None)
+                if inner is not None and hasattr(inner, "eqns"):
+                    rec(inner)
+                elif hasattr(p, "eqns"):
+                    rec(p)
+
+    rec(jaxpr)
+
+
+@pytest.mark.parametrize("which", ["formation", "residuals", "kkt"])
+def test_pallas_kernels_are_64bit_clean_under_x64(which):
+    """Trace each in-loop kernel wrapper with jax_enable_x64 active (the
+    bench's configuration — f64 solver state) and walk the pallas_call
+    kernel jaxpr + BlockSpec index maps: no i64/f64 may appear.  This is
+    the CPU-checkable pin for the Mosaic legalization failures that
+    killed the round-4 on-TPU A/B cells."""
+    import jax
+    import jax.numpy as jnp
+
+    B, n, m = 2, 8, 12
+    f32 = jnp.float32
+    rng = np.random.default_rng(0)
+    r = lambda *s: jnp.asarray(rng.standard_normal(s), f32)
+
+    if which == "formation":
+        from qpdo_tpu.ops.pallas_formation import fused_formation
+        fn = lambda: jax.make_jaxpr(
+            lambda a, w, q, s: fused_formation(a, w, q, s))(
+                r(B, m, n), jnp.abs(r(B, m)), r(B, n, n), jnp.abs(r(B)))
+    elif which == "residuals":
+        from qpdo_tpu.ops.pallas_residuals import fused_residuals
+        duals = [r(B, m) for _ in range(8)]
+        prims = [r(B, n) for _ in range(6)]
+        fn = lambda: jax.make_jaxpr(
+            lambda *a: fused_residuals(*a))(
+                *duals, *prims, jnp.abs(r(B)), jnp.abs(r(B)))
+    else:
+        from qpdo_tpu.ops.pallas_kkt import fused_kkt_solve
+        fn = lambda: jax.make_jaxpr(
+            lambda q, a, w, s, rh: fused_kkt_solve(q, a, w, s, rh))(
+                r(B, n, n), r(B, m, n), jnp.abs(r(B, m)), jnp.abs(r(B)),
+                r(B, n))
+
+    jaxpr = fn().jaxpr
+    calls = []
+    _walk_jaxprs(jaxpr, calls)
+    assert calls, "no pallas_call found in the traced program"
+    for eqn in calls:
+        kj = eqn.params["jaxpr"]
+        _assert_no_64bit(getattr(kj, "jaxpr", kj), f"{which} kernel")
+        gm = eqn.params.get("grid_mapping")
+        if gm is not None:
+            for bm in gm.block_mappings:
+                imj = getattr(bm, "index_map_jaxpr", None)
+                if imj is not None:
+                    _assert_no_64bit(getattr(imj, "jaxpr", imj),
+                                     f"{which} index map")

@@ -99,6 +99,13 @@ def measure_peak_tflops(reps: int = 3, size: int = 4096,
         return flops / best / 1e12
 
     out = {}
+    # CHAIN dependent matmuls inside one jit program: the round-4 per-op
+    # profile (scripts/tpu_per_op_profile.py) showed every single-launch
+    # measurement on axon pays a ~25-30 ms dispatch/sync floor, which
+    # caps a one-matmul probe at flops/floor regardless of the chip's
+    # true rate (the 4096² single-shot reading of 4.3 TFLOPS is ~exactly
+    # 137 GFLOP / 30 ms).  R chained matmuls amortize the floor R-fold.
+    R = 16
     for name, dtype, prec in (("f32_highest", jnp.float32, "highest"),
                               ("bf16", jnp.bfloat16, "default")):
         a = jnp.ones((size, size), dtype)
@@ -110,6 +117,18 @@ def measure_peak_tflops(reps: int = 3, size: int = 4096,
 
         out[name] = _time_best(jax.jit(mm), (a, b), 2.0 * size ** 3)
 
+        def mm_chain(a, b, _prec=prec):
+            def body(_, y):
+                with jax.default_matmul_precision(_prec):
+                    # rescale keeps magnitudes O(1) across the chain; the
+                    # multiply is VPU noise next to the matmul
+                    return (y @ b) * (1.0 / size)
+
+            return jax.lax.fori_loop(0, R, body, a)
+
+        out[name + "_chained"] = _time_best(
+            jax.jit(mm_chain), (a, b), 2.0 * R * size ** 3)
+
     if bench_shape is not None:
         B, n, m = bench_shape
         a = jnp.ones((B, m, n), jnp.float32)
@@ -120,6 +139,20 @@ def measure_peak_tflops(reps: int = 3, size: int = 4096,
 
         out["f32_bench_shape"] = _time_best(
             jax.jit(formation), (a,), 2.0 * B * m * n * n)
+
+        def formation_chain(a):
+            def body(_, av):
+                with jax.default_matmul_precision("highest"):
+                    K = jnp.einsum("bmn,bmk->bnk", av, av)
+                # feed one scalar of K back so reps cannot be CSE'd away
+                # (1e-30 * K rounds away under f32 addition, so the data
+                # is unchanged but the dependency is not foldable)
+                return av * (1.0 + 1e-30 * K[:, :1, :1])
+
+            return jax.lax.fori_loop(0, R, body, a)
+
+        out["f32_bench_shape_chained"] = _time_best(
+            jax.jit(formation_chain), (a,), 2.0 * R * B * m * n * n)
     return out
 
 
@@ -430,7 +463,9 @@ def main():
     # Only if every probe still reads below the solver's own lower-bound
     # FLOP rate is the denominator floored — reported as separate fields,
     # never overwriting a measurement.
-    peak_probe = max(peak["f32_highest"], peak.get("f32_bench_shape", 0.0))
+    peak_probe = max(peak["f32_highest"], peak.get("f32_bench_shape", 0.0),
+                     peak.get("f32_highest_chained", 0.0),
+                     peak.get("f32_bench_shape_chained", 0.0))
     peak_floored = peak_probe < lower_tflops
     peak_used = max(peak_probe, lower_tflops)
     mfu_raw = achieved_tflops / peak_used
@@ -479,6 +514,11 @@ def main():
         "peak_tflops_f32_highest": round(peak["f32_highest"], 3),
         "peak_tflops_bf16": round(peak["bf16"], 3),
         "peak_bench_shape_tflops": round(peak.get("f32_bench_shape", 0.0), 3),
+        "peak_chained_tflops_f32": round(
+            peak.get("f32_highest_chained", 0.0), 3),
+        "peak_chained_tflops_bf16": round(peak.get("bf16_chained", 0.0), 3),
+        "peak_chained_bench_shape": round(
+            peak.get("f32_bench_shape_chained", 0.0), 3),
         "peak_pre_tflops_f32": round(peak_pre["f32_highest"], 3),
         "peak_post_tflops_f32": round(peak_post["f32_highest"], 3),
         "peak_pre_bench_shape": round(peak_pre.get("f32_bench_shape", 0.0), 3),

@@ -112,22 +112,50 @@ def main():
         ("atmv2", atmv2, (A, dy2)),
         ("at_ytilde", at_ytilde, (A, yt)),
     ]
+    # chained variant: R dependent reps inside ONE jit program.  The
+    # round-4 standalone rows all read 25-31 ms — the axon per-dispatch/
+    # sync floor, not op cost (the whole in-loop iteration is ~7.6 ms for
+    # ~15 ops).  Feeding one scalar of each output back into an input
+    # makes the reps data-dependent (not CSE-able) while the 1e-30
+    # perturbation rounds away, so chained_ms/rep is the true device cost.
+    R = 32
+
+    def chained(f, args, reps=3):
+        def prog(*args):
+            def body(_, a):
+                outv = f(*a)
+                a = list(a)
+                a[0] = a[0] * (1.0 + 1e-30 * jnp.ravel(outv)[0])
+                return tuple(a)
+
+            return jax.lax.fori_loop(0, R, body, tuple(args))[0]
+
+        return best_of(jax.jit(prog), args, reps) / R
+
     total = 0.0
+    total_chained = 0.0
     out = {}
     for name, f, args in cells:
         t = best_of(jax.jit(f), args)
+        tc = chained(f, args)
         total += t
+        total_chained += tc
         out[name] = round(t * 1e3, 3)
+        out[name + "_chained"] = round(tc * 1e3, 3)
         print(json.dumps({"op": name, "ms": round(t * 1e3, 3),
+                          "chained_ms": round(tc * 1e3, 3),
                           "backend": jax.default_backend()}), flush=True)
 
     # whole bench step for comparison: iterations/s from the bench JSON
     # give step wall = B / (QPs/s * mean_iters); print sum for the floor
     print(json.dumps({"sum_standalone_ms": round(total * 1e3, 3),
+                      "sum_chained_ms": round(total_chained * 1e3, 3),
                       "note": ("compare against bench step wall = "
-                               "batch/(QPs_per_s*mean_iters); the gap is "
-                               "launch/fusion overhead XLA removes or "
-                               "adds in-loop"),
+                               "batch/(QPs_per_s*mean_iters); standalone "
+                               "rows carry the ~25-30 ms axon dispatch "
+                               "floor, chained rows amortize it away — "
+                               "step_wall - sum_chained is the true "
+                               "in-loop overhead budget"),
                       **out}), flush=True)
 
 

@@ -39,7 +39,8 @@ import sys
 import time
 
 B_LOCAL = int(os.environ.get("QPDO_MH_B", 64))  # realistic per-host load
-N, M = 64, 96
+N = int(os.environ.get("QPDO_MH_N", 64))        # problem shape knobs so the
+M = int(os.environ.get("QPDO_MH_M", 96))        # sweep covers >1 configuration
 ITERS = int(os.environ.get("QPDO_MH_ITERS", 100))
 DEV_PER_PROC = int(os.environ.get("QPDO_MH_DEV_PER_PROC", 2))
 # On the CPU sim every process must get identical, disjoint hardware or
@@ -184,6 +185,8 @@ def main() -> int:
         # per-host load in the record: the efficiency is load-sensitive
         # (0.48 at B_LOCAL=8 vs 0.90+ at 64, logs/multihost_scaling_r2.log)
         "b_local": B_LOCAL,
+        "n": N,
+        "m": M,
         "iters": ITERS,
         **{f"rate_{n}proc": rates[n] for n in procs_list},
         **{f"scaling_efficiency_{n}proc": effs[n]

@@ -63,17 +63,24 @@ def main():
     settings = qt.Settings(eps_abs=1e-6, max_iter=100000,
                            inner_max_iter=100, eps_abs_in=0.1,
                            rho=0.2, delta=1e-4, theta=0.9)
+    # mu_min=1e-9 (the reference default, constants.h:55) is REQUIRED on
+    # this family: LISWET's 4th-difference dual operator has cond ~ n^4,
+    # so the ALM outer contraction at mu_min=1e-7 degrades to ~0.996 per
+    # 50 iterations by n=5625 (measured, logs/liswet5625_diag_cpu.log) —
+    # the round-4 on-TPU ladder burned 2x3600 s exactly there.  The f32
+    # factorization carries mu=1e-9 via the state-dtype escalation
+    # (Settings.banded_escalate_rtol; beyond cond ~ 1/eps32 the f32
+    # factor NaNs and pre-escalation the duals staircased at rp/mu).
     if os.environ.get("QPDO_EX_TPU"):
-        # TPU-safe: float32 banded factorization (f64 Cholesky crashes the
-        # device, CLAUDE.md) + f64 state/refinement; mu_min>=1e-7 rule.
+        # TPU: float32 banded factorization + f64 state/refinement.
         # max_time forces host-chunked driving (32-iteration device
         # executions): the 2026-08-19 worker crashes under multi-minute
         # single executions of any kind (RESULTS.md crash class).
-        settings = settings.replace(kkt_dtype="float32", mu_min=1e-7,
+        settings = settings.replace(kkt_dtype="float32", mu_min=1e-9,
                                     refine_steps=3, max_time=3600.0)
     if os.environ.get("QPDO_EX_F32"):
         # CPU rehearsal of the exact TPU precision config (no chunking)
-        settings = settings.replace(kkt_dtype="float32", mu_min=1e-7,
+        settings = settings.replace(kkt_dtype="float32", mu_min=1e-9,
                                     refine_steps=3)
     if os.environ.get("QPDO_EX_MAXTIME"):
         # CPU rehearsal of the TPU host-chunked driving (solve_driven):

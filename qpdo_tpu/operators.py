@@ -306,6 +306,75 @@ class DenseOperator(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
+# Hand-rolled small-block Cholesky / substitutions (no lax.linalg)
+#
+# The axon TPU's float64 emulation carries elementwise mul/add/sqrt/div
+# but a float64 ``jnp.linalg.cholesky`` crashes the device (CLAUDE.md).
+# These unrolled variants — the block size b is static, so Python loops
+# over b lower to a flat op graph — let the banded escalation path
+# factor in the STATE dtype on any backend, matching the robustness of
+# the reference's f64 LDL' (cholmod_interface.c:8-30) at its
+# mu_min=1e-9 default where a float32 factor mathematically cannot
+# exist (measured: the equilibrated LISWET KKT at w=1e9 has spectral
+# cond ~1e9 > 1/eps32; jnp.linalg.cholesky returns NaN and the solver's
+# NaN-guard zero direction turns the dual update dy = w*(A dx) - ytilde
+# into a +rp/mu staircase — logs/liswet5625_isolate_mu1e9.log).
+# ---------------------------------------------------------------------------
+
+def _chol_unrolled(D):
+    """Cholesky of (..., b, b) SPD blocks, column-by-column
+    (Cholesky–Banachiewicz) unrolled over the static block size."""
+    b = D.shape[-1]
+    L = jnp.zeros_like(D)
+    idx = jnp.arange(b)
+    for j in range(b):
+        v = D[..., :, j]
+        if j:
+            # v_i -= sum_k<j L[i,k] L[j,k]
+            v = v - jnp.sum(L[..., :, :j] * L[..., j:j + 1, :j], axis=-1)
+        ljj = jnp.sqrt(v[..., j:j + 1])
+        col = v / ljj
+        L = L.at[..., :, j].set(jnp.where(idx >= j, col, 0.0))
+    return L
+
+
+def _tri_solve_unrolled(L, r, trans=False):
+    """Solve L x = r (``trans=False``) or L' x = r (``trans=True``) for
+    (..., b, b) lower-triangular L and (..., b) r, by substitution
+    unrolled over the static b."""
+    b = L.shape[-1]
+    xs = [None] * b
+    order = range(b) if not trans else reversed(range(b))
+    for i in order:
+        acc = r[..., i]
+        if not trans:
+            if i:
+                acc = acc - jnp.sum(
+                    L[..., i, :i] * jnp.stack(xs[:i], axis=-1), axis=-1)
+        else:
+            if i < b - 1:
+                acc = acc - jnp.sum(
+                    L[..., i + 1:, i] * jnp.stack(xs[i + 1:], axis=-1),
+                    axis=-1)
+        xs[i] = acc / L[..., i, i]
+    return jnp.stack(xs, axis=-1)
+
+
+def _tri_solve_unrolled_mat(L, B):
+    """Solve L X = B for (..., b, b) lower-triangular L and (..., b, m)
+    B (forward substitution on each column, unrolled over b)."""
+    b = L.shape[-1]
+    xs = [None] * b
+    for i in range(b):
+        acc = B[..., i, :]
+        if i:
+            acc = acc - jnp.sum(
+                L[..., i, :i, None] * jnp.stack(xs[:i], axis=-2), axis=-2)
+        xs[i] = acc / L[..., i, i, None]
+    return jnp.stack(xs, axis=-2)
+
+
+# ---------------------------------------------------------------------------
 # Sparse operator (the large-n path)
 # ---------------------------------------------------------------------------
 
@@ -643,6 +712,52 @@ class SparseOperator(NamedTuple):
         return D, E, s
 
     @staticmethod
+    def _banded_factor_scan_hr(D, E):
+        """``_banded_factor_scan`` built from hand-rolled block Cholesky
+        and substitutions (``_chol_unrolled``/``_tri_solve_unrolled``) —
+        no ``lax.linalg`` anywhere, so it runs in float64 on backends
+        whose native Cholesky cannot (axon TPU: a float64
+        ``jnp.linalg.cholesky`` crashes the device, while the emulated
+        elementwise mul/add/sqrt/div are fine).  The state-dtype
+        escalation path of ``_banded_solve`` uses this on non-CPU
+        backends; semantics identical to ``_banded_factor_scan``."""
+        nb = D.shape[0]
+        L0 = _chol_unrolled(D[0])
+
+        def fstep(Lprev, DE):
+            Dk, Ek = DE
+            Mt = _tri_solve_unrolled_mat(Lprev, Ek.T)
+            Lk = _chol_unrolled(Dk - Mt.T @ Mt)
+            return Lk, (Lk, Mt)
+
+        _, (Ls, Mts) = jax.lax.scan(fstep, L0, (D[1:], E[: nb - 1]))
+
+        def solve(rb):
+            u0 = _tri_solve_unrolled(L0, rb[0])
+
+            def fwd(uprev, inp):
+                Lk, Mt, rk = inp
+                uk = _tri_solve_unrolled(Lk, rk - Mt.T @ uprev)
+                return uk, uk
+
+            _, us = jax.lax.scan(fwd, u0, (Ls, Mts, rb[1:]))
+            U = jnp.concatenate([u0[None], us], axis=0)
+            Llast = Ls[-1] if nb > 1 else L0
+            zl = _tri_solve_unrolled(Llast, U[-1], trans=True)
+
+            def bwd(znext, inp):
+                Lk, Mtk1, uk = inp
+                zk = _tri_solve_unrolled(Lk, uk - Mtk1 @ znext, trans=True)
+                return zk, zk
+
+            Lall = jnp.concatenate([L0[None], Ls], axis=0)
+            _, zs = jax.lax.scan(bwd, zl, (Lall[:-1], Mts, U[:-1]),
+                                 reverse=True)
+            return jnp.concatenate([zs, zl[None]], axis=0)
+
+        return solve
+
+    @staticmethod
     def _banded_factor_scan(D, E):
         """Sequential block-tridiagonal Cholesky: K = L L' with
         block-bidiagonal L, factored by a ``lax.scan`` of b x b block
@@ -868,7 +983,17 @@ class SparseOperator(NamedTuple):
             pcg_iters = int(getattr(settings, "banded_pcg_refine", 0))
             if pcg_iters > 0:
                 from .ops.cg import pcg
-                tol = 1e-9 if dt == jnp.dtype(jnp.float64) else 1e-5
+                # tol ~ 100*eps(state): the dual update dy = w*(A dx - ...)
+                # amplifies the direction error by 1/mu (newton.c:60-63), so
+                # at mu_min = 1e-9 a 1e-9-relative direction leaves O(1)
+                # dual noise per step and the duals random-walk to 1e8
+                # (measured: LISWET n=5625 cold, rd 1.6e8 at rel-tol 1e-9
+                # vs SOLVED with exact f64 factors whose rel error ~1e-14 —
+                # logs/liswet5625_isolate_mu1e9.log).  Early exit keeps the
+                # common path at the same 2-3 Krylov iterations; only
+                # near-floor-mu systems pay the extra ~10.
+                tol = (100 * float(jnp.finfo(dt).eps)
+                       if dt == jnp.dtype(jnp.float64) else 1e-5)
                 dx, _, rel = pcg(Kmv, rhs, solve, tol, pcg_iters)
                 rn = rel * jnp.maximum(jnp.linalg.norm(rhs),
                                        jnp.asarray(1e-30, dt))
@@ -897,12 +1022,55 @@ class SparseOperator(NamedTuple):
                 ok = rn <= rtol * rhs_n          # False on NaN -> fallback
 
                 def scan_fallback(_):
-                    dx2, _ = run(self._banded_factor_scan(D, E))
-                    return dx2
+                    return run(self._banded_factor_scan(D, E))
 
-                dx = jax.lax.cond(ok, lambda _: dx, scan_fallback, None)
+                dx, rn = jax.lax.cond(
+                    ok, lambda _: (dx, rn), scan_fallback, None)
         else:
-            dx, _ = run(self._banded_factor_scan(D, E))
+            dx, rn = run(self._banded_factor_scan(D, E))
+
+        # STATE-DTYPE ESCALATION (Settings.banded_escalate_rtol): when
+        # the reduced-precision factor + PCG refinement cannot deliver
+        # the direction — the f32 Cholesky mathematically breaks down
+        # once cond(S K S) > 1/eps32, i.e. exactly the mu ~ 1e-9 regime
+        # the reference's f64 LDL' factors routinely
+        # (cholmod_interface.c:8-30, constants.h:55) — re-solve with an
+        # exact state-dtype scan factorization.  NaN residuals fail the
+        # gate by construction (NaN <= x is False).  On CPU this is the
+        # native Cholesky; on TPU the hand-rolled unrolled variant
+        # (``_banded_factor_scan_hr``) avoids the f64-cholesky device
+        # crash.  Under vmap the cond lowers to a select and batched
+        # fleets pay the state-dtype factor cost always — set
+        # banded_escalate_rtol=0 there if measured (same caveat as the
+        # CR fallback above).
+        esc_rtol = getattr(settings, "banded_escalate_rtol", 0.0)
+        if esc_rtol > 0 and kdt != dt:
+            rhs_n = jnp.maximum(jnp.linalg.norm(rhs),
+                                jnp.asarray(1e-30, dt))
+            esc_ok = rn <= esc_rtol * rhs_n
+
+            def exact_path(_):
+                D64, E64, s64 = self._assemble_banded(
+                    w, sigma, settings.replace(kkt_dtype=None))
+                s64_flat = s64.reshape(-1)[:n]
+                factor = (self._banded_factor_scan(D64, E64)
+                          if jax.default_backend() == "cpu"
+                          else self._banded_factor_scan_hr(D64, E64))
+
+                def solve64(r):
+                    r = r * s64_flat
+                    rp64 = (jnp.concatenate([r, jnp.zeros((pad,), dt)])
+                            if pad else r)
+                    z = factor(rp64.reshape(nb, b)).reshape(-1)
+                    return (z[:n] if pad else z) * s64_flat
+
+                dx2 = solve64(rhs)
+                # one exact-residual correction sweep (state-dtype factor
+                # at state-dtype data: brings the direction to ~eps(dt))
+                dx2 = dx2 + solve64(rhs - Kmv(dx2))
+                return dx2
+
+            dx = jax.lax.cond(esc_ok, lambda _: dx, exact_path, None)
         finite = jnp.all(jnp.isfinite(dx))
         return jnp.where(finite, dx, jnp.zeros_like(dx))
 

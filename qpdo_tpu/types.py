@@ -271,6 +271,23 @@ class Settings:
     # directions (the round-4 LISWET-tail fix).  0 = the legacy
     # monotone-safeguarded Richardson sweeps (refine_steps).
     banded_pcg_refine: int = 32
+    # State-dtype escalation of the banded direct solve: when the
+    # refined direction's relative residual exceeds this gate (or is
+    # NaN), re-factor in the STATE dtype — native Cholesky on CPU, the
+    # hand-rolled unrolled scan (_banded_factor_scan_hr) elsewhere, so
+    # it runs on the TPU where jnp.linalg.cholesky f64 crashes the
+    # device.  This is the regime where a reduced-precision factor
+    # mathematically cannot exist: cond(S K S) > 1/eps(kkt_dtype), i.e.
+    # mu below ~1e-7 with float32 factors — exactly the reference's
+    # routine operating point (f64 LDL' at mu_min=1e-9, constants.h:55,
+    # cholmod_interface.c:8-30).  Without it the NaN factor collapses
+    # the direction to the zero-guard and the dual update staircases at
+    # rp/mu per step (the round-4 LISWET mu_min<=1e-8 explosion,
+    # logs/liswet5625_isolate_mu1e9.log).  0 disables (batched banded
+    # fleets: under vmap the cond lowers to a select and both paths
+    # execute — disable there if measured).  Engaged only when
+    # kkt_dtype is reduced below the state dtype.
+    banded_escalate_rtol: float = 1e-10
     # Dense-path analogue of banded_pcg_refine: PCG refinement of the
     # dense Newton solve, preconditioned by the kkt_dtype Cholesky, with
     # exact state-dtype matvecs.  -1 = AUTO: engage (32 iterations) only

@@ -106,6 +106,9 @@ def validate_settings(s: Settings) -> None:
     if s.banded_cr_fallback_rtol < 0:
         raise ValueError(
             "banded_cr_fallback_rtol must be nonnegative (0 disables)")
+    if s.banded_escalate_rtol < 0:
+        raise ValueError(
+            "banded_escalate_rtol must be nonnegative (0 disables)")
     if s.crash_recovery < 0:
         raise ValueError("crash_recovery must be nonnegative (0 disables)")
     if s.linesearch not in ("sort", "bisect", "bisect_chunk"):
@@ -146,6 +149,20 @@ def _warn_unsafe_combos(s: Settings) -> None:
             "(auto: Krylov refinement restores state-accuracy exactly "
             "in this regime), set mu_min >= 1e-7, or keep the "
             "factorization in float64 (kkt_dtype=None).",
+            UnsafeSettingsWarning, stacklevel=3)
+    if (s.kkt_dtype == "float32" and s.mu_min < 1e-7
+            and s.banded_escalate_rtol == 0):
+        warnings.warn(
+            "kkt_dtype='float32' with mu_min < 1e-7 and the banded "
+            "state-dtype escalation disabled (banded_escalate_rtol=0): "
+            "below mu ~ 1e-7 the equilibrated KKT's spectral condition "
+            "exceeds 1/eps32, the float32 block Cholesky breaks down "
+            "(NaN factor), the NaN-guard zeroes the direction, and the "
+            "dual update dy = w*(A dx) - ytilde staircases at rp/mu per "
+            "step (round-4 LISWET mu_min<=1e-8 explosion).  Keep "
+            "banded_escalate_rtol > 0 (state-dtype re-factorization "
+            "exactly when the refined residual fails the gate) or set "
+            "mu_min >= 1e-7.",
             UnsafeSettingsWarning, stacklevel=3)
     if (s.kkt_dtype == "float32" and s.banded_algo in ("cr", "auto")
             and s.banded_cr_fallback_rtol == 0 and s.mu_min < 1e-6

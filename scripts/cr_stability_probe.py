@@ -45,9 +45,15 @@ def main():
     d_fine = np.sin(4 * np.pi * t_fine) + 0.1 * rng.standard_normal(N)
     grid_levels = [int(x) for x in (sys.argv[1:] or ["704"])]
 
+    # mu_min default 1e-7 reproduces the historical TPU-safe config;
+    # QPDO_PROBE_MU_MIN=1e-9 probes the reference default (constants.h:55)
+    # now that PCG refinement carries f32 factors at cond ~ 1/mu_min
+    # (RESULTS.md round 4: the LISWET rp floor ~ mu_min * |y - ybar| is a
+    # mu_min artifact, not a factorization limit).
+    mu_min = float(os.environ.get("QPDO_PROBE_MU_MIN", "1e-7"))
     base = qt.Settings(eps_abs=1e-6, max_iter=3000, inner_max_iter=100,
                        eps_abs_in=0.1, rho=0.2, delta=1e-4, theta=0.9,
-                       kkt_dtype="float32", mu_min=1e-7, refine_steps=3,
+                       kkt_dtype="float32", mu_min=mu_min, refine_steps=3,
                        max_time=600.0)
 
     cells = [("scan", 0)] + [("cr", d) for d in (0, 2, 4, 6)]

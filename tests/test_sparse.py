@@ -844,9 +844,104 @@ def test_banded_stressed_conditioning_direction_accuracy():
         base = qt.Settings(kkt_dtype="float32", banded_algo=algo)
         r_new = rel_res(base)
         assert r_new < 1e-7, f"{algo}: PCG-refined rel res {r_new:.2e}"
+        # escalation off too: the round-4 state-dtype escalation would
+        # rescue the legacy path (its whole point), erasing the contrast
+        # this regression pins
         r_legacy = rel_res(base.replace(banded_pcg_refine=0,
-                                        refine_steps=3))
+                                        refine_steps=3,
+                                        banded_escalate_rtol=0.0))
         assert r_legacy > 10 * r_new, (
             f"{algo}: legacy Richardson unexpectedly matched "
             f"({r_legacy:.2e} vs {r_new:.2e}) — the regression test "
             f"lost its teeth")
+
+
+def test_handrolled_block_linalg_parity():
+    """The hand-rolled block Cholesky/substitutions (no lax.linalg — the
+    TPU-safe float64 escalation path, operators._chol_unrolled et al.)
+    match the native implementations to machine precision."""
+    from qpdo_tpu.operators import (_chol_unrolled, _tri_solve_unrolled,
+                                    _tri_solve_unrolled_mat,
+                                    SparseOperator)
+    rng = np.random.default_rng(0)
+    for b in (1, 2, 4, 8):
+        M = rng.standard_normal((5, b, b))
+        D = jnp.asarray(M @ np.swapaxes(M, -1, -2) + b * np.eye(b))
+        L, Lref = _chol_unrolled(D), jnp.linalg.cholesky(D)
+        np.testing.assert_allclose(L, Lref, atol=1e-12)
+        r = jnp.asarray(rng.standard_normal((5, b)))
+        for trans in (False, True):
+            x = _tri_solve_unrolled(L, r, trans=trans)
+            xr = jax.scipy.linalg.solve_triangular(
+                Lref, r[..., None], lower=True, trans=int(trans))[..., 0]
+            np.testing.assert_allclose(x, xr, atol=1e-12)
+        B = jnp.asarray(rng.standard_normal((5, b, 3)))
+        np.testing.assert_allclose(
+            _tri_solve_unrolled_mat(L, B),
+            jax.scipy.linalg.solve_triangular(Lref, B, lower=True),
+            atol=1e-12)
+
+    # block-tridiagonal solve parity: hand-rolled scan vs native scan
+    nb, b = 9, 4
+    M = rng.standard_normal((nb, b, b))
+    D = jnp.asarray(M @ np.swapaxes(M, -1, -2) + 10 * b * np.eye(b))
+    E = jnp.asarray(0.3 * rng.standard_normal((nb - 1, b, b)))
+    rb = jnp.asarray(rng.standard_normal((nb, b)))
+    np.testing.assert_allclose(
+        SparseOperator._banded_factor_scan_hr(D, E)(rb),
+        SparseOperator._banded_factor_scan(D, E)(rb), atol=1e-9)
+
+
+def test_banded_escalation_beyond_f32_breakdown():
+    """Round-4 regression for the mu <= 1e-8 explosion class: at
+    w = 1/mu = 1e9 the equilibrated KKT's spectral condition exceeds
+    1/eps32, the float32 block Cholesky mathematically breaks down (NaN
+    factor), and pre-fix the NaN-guard returned dx = 0 — turning the
+    dual update into a +rp/mu staircase (duals at 1e8 within 300
+    iterations, logs/liswet5625_isolate_mu1e9.log).  The state-dtype
+    escalation (Settings.banded_escalate_rtol) must catch the failed
+    gate and deliver a direction at the f64-factor error class, exactly
+    the robustness of the reference's f64 LDL' at its own mu_min=1e-9
+    default (cholmod_interface.c:8-30, constants.h:55)."""
+    Q, q, A, l, u = _liswet_data(800, seed=7)
+    op = setup_sparse(Q, q, A, l, u)
+    assert op.bd_tmpl is not None
+    m, n = A.shape
+    w = jnp.full((m,), 1e9)            # every row active at mu = 1e-9
+    sigma = jnp.asarray(1e-7)
+    rhs = jnp.asarray(np.random.default_rng(3).standard_normal(n))
+
+    s = qt.Settings(kkt_dtype="float32")
+    dx = np.asarray(op._banded_solve(w, sigma, rhs, s))
+    r = np.asarray(rhs - (op.Qmv(jnp.asarray(dx))
+                          + op.Atmv(w * op.Amv(jnp.asarray(dx)))
+                          + sigma * jnp.asarray(dx)))
+    rel = np.linalg.norm(r) / np.linalg.norm(np.asarray(rhs))
+    assert np.any(dx != 0), "escalation must not collapse to the NaN-guard"
+    assert rel < 1e-5, f"escalated direction rel res {rel:.2e}"
+
+    # without escalation the f32 factor NaNs and the guard zeroes dx —
+    # pin the failure mode so this test keeps its teeth
+    dx0 = np.asarray(op._banded_solve(
+        w, sigma, rhs, s.replace(banded_escalate_rtol=0.0)))
+    assert np.all(dx0 == 0)
+
+
+def test_solve_f32_kkt_at_reference_mu_min_banded():
+    """End-to-end: a banded LISWET solve with kkt_dtype='float32' at the
+    reference's own mu_min=1e-9 default (constants.h:55) must stay sane
+    — pre-fix the duals exploded to 1e8 (the staircase class).  Small n
+    keeps it fast; the acceptance is sane residuals + no dual blowup,
+    not full convergence (cold LISWET convergence is slow by nature)."""
+    Q, q, A, l, u = _liswet_data(600, seed=11)
+    s = qt.Settings(eps_abs=1e-6, max_iter=1500, inner_max_iter=100,
+                    eps_abs_in=0.1, rho=0.2, delta=1e-4, theta=0.9,
+                    kkt_dtype="float32", mu_min=1e-9, refine_steps=3,
+                    hybrid_warmup=False)
+    r = qt.solve_sparse(Q, q, A, l, u, settings=s)
+    x, y = np.asarray(r.x), np.asarray(r.y)
+    Ax = A @ x
+    rp = float(np.max(np.abs(Ax - np.clip(Ax + y, l, u))))
+    rd = float(np.max(np.abs(Q @ x + q + A.T @ y)))
+    assert np.max(np.abs(y)) < 1e5, "dual explosion (the staircase class)"
+    assert rd < 1e-4 and rp < 1e-2, (rp, rd)

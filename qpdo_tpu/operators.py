@@ -983,17 +983,18 @@ class SparseOperator(NamedTuple):
             pcg_iters = int(getattr(settings, "banded_pcg_refine", 0))
             if pcg_iters > 0:
                 from .ops.cg import pcg
-                # tol ~ 100*eps(state): the dual update dy = w*(A dx - ...)
-                # amplifies the direction error by 1/mu (newton.c:60-63), so
-                # at mu_min = 1e-9 a 1e-9-relative direction leaves O(1)
-                # dual noise per step and the duals random-walk to 1e8
-                # (measured: LISWET n=5625 cold, rd 1.6e8 at rel-tol 1e-9
-                # vs SOLVED with exact f64 factors whose rel error ~1e-14 —
-                # logs/liswet5625_isolate_mu1e9.log).  Early exit keeps the
-                # common path at the same 2-3 Krylov iterations; only
-                # near-floor-mu systems pay the extra ~10.
-                tol = (100 * float(jnp.finfo(dt).eps)
-                       if dt == jnp.dtype(jnp.float64) else 1e-5)
+                # rel-tol 1e-9 (f64): the achievable PCG floor is
+                # ~eps(dt)*cond(K), so a tighter target would never
+                # early-exit on any cond > ~1e2 system and every solve
+                # would burn the full iteration cap.  1e-9 directions
+                # are proven sufficient down to mu_min = 1e-7 (round-4a
+                # LISWET fix); beyond that the f32 factor itself breaks
+                # down (NaN at cond > 1/eps32) and the STATE-DTYPE
+                # ESCALATION below — not a tighter Krylov target — is
+                # what restores the direction
+                # (logs/liswet5625_isolate_mu1e9.log: budget/tolerance
+                # changes were bit-identical no-ops on the NaN factor).
+                tol = 1e-9 if dt == jnp.dtype(jnp.float64) else 1e-5
                 dx, _, rel = pcg(Kmv, rhs, solve, tol, pcg_iters)
                 rn = rel * jnp.maximum(jnp.linalg.norm(rhs),
                                        jnp.asarray(1e-30, dt))

@@ -191,9 +191,7 @@ def newton_system_solve(Q, A, active, mu, sigma, rhs, proximal: bool,
                     Kv = Kv + sigma * v
                 return Kv
 
-            tol = (100 * float(jnp.finfo(dt).eps)  # see operators._banded_solve:
-               # dy = w*(A dx) amplifies direction error by 1/mu
-               if dt == jnp.dtype(jnp.float64) else 1e-5)
+            tol = 1e-9 if dt == jnp.dtype(jnp.float64) else 1e-5
             dx, _, _ = pcg(Kmv_exact, rhs, ksolve, tol, pcg_refine)
         elif refine_steps > 0:
             Kmv = _exact_kmv(Q, A, w, sigma, proximal, kdt, dt)
@@ -258,9 +256,7 @@ def newton_system_solve(Q, A, active, mu, sigma, rhs, proximal: bool,
                 Kv = Kv + sigma * v
             return Kv
 
-        tol = (100 * float(jnp.finfo(dt).eps)  # see operators._banded_solve:
-               # dy = w*(A dx) amplifies direction error by 1/mu
-               if dt == jnp.dtype(jnp.float64) else 1e-5)
+        tol = 1e-9 if dt == jnp.dtype(jnp.float64) else 1e-5
         dx, _, _ = pcg(Kmv_exact, rhs, solve1, tol, pcg_refine)
         finite = jnp.all(jnp.isfinite(dx))
         return jnp.where(finite, dx, jnp.zeros_like(dx))

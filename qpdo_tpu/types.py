@@ -286,8 +286,11 @@ class Settings:
     # logs/liswet5625_isolate_mu1e9.log).  0 disables (batched banded
     # fleets: under vmap the cond lowers to a select and both paths
     # execute — disable there if measured).  Engaged only when
-    # kkt_dtype is reduced below the state dtype.
-    banded_escalate_rtol: float = 1e-10
+    # kkt_dtype is reduced below the state dtype.  The default 1e-6
+    # sits well above the healthy f32+PCG path's achieved residual
+    # (~1e-9 at its rel-tol) and well below garbage — it fires on
+    # NaN/stagnation, never on solves the reduced factor carries fine.
+    banded_escalate_rtol: float = 1e-6
     # Dense-path analogue of banded_pcg_refine: PCG refinement of the
     # dense Newton solve, preconditioned by the kkt_dtype Cholesky, with
     # exact state-dtype matvecs.  -1 = AUTO: engage (32 iterations) only

@@ -262,7 +262,9 @@ class DenseOperator(NamedTuple):
                                    settings.pallas_formation,
                                    ytilde, res_dual_in,
                                    pcg_refine=pcg_iters,
-                                   pallas_kkt=settings.pallas_kkt)
+                                   pallas_kkt=settings.pallas_kkt,
+                                   escalate_rtol=getattr(
+                                       settings, "kkt_escalate_rtol", 0.0))
 
     # -- Incremental KKT formation (Settings.kkt_update_rows > 0): the
     # TPU analogue of the reference's rank-k factor updates

@@ -104,6 +104,90 @@ def _prescaled_tri_solver(chol, dinv, out_dtype):
     return solve1
 
 
+def _chol_fori(K):
+    """Cholesky of (..., n, n) SPD matrices via a ``lax.fori_loop`` of
+    masked column updates — no ``lax.linalg`` and no dot_general, only
+    elementwise multiply + reduce, so it runs in float64 on the TPU
+    (where ``jnp.linalg.cholesky`` f64 crashes the device and the MXU
+    has no f64 path).  O(n^3) elementwise work in n loop steps; the
+    dense state-dtype escalation path only (gate-failure systems)."""
+    n = K.shape[-1]
+    idx = jnp.arange(n)
+
+    def body(j, L):
+        Lj = jnp.take(L, j, axis=-2)                       # row j (..., n)
+        kmask = (idx < j).astype(K.dtype)
+        S = jnp.sum(L * (Lj * kmask)[..., None, :], axis=-1)
+        v = jnp.take(K, j, axis=-1) - S                    # column j
+        pivot = jnp.sqrt(jnp.take(v, j, axis=-1))
+        col = v / pivot[..., None]
+        col = jnp.where(idx >= j, col, jnp.zeros_like(col))
+        return jax.lax.dynamic_update_index_in_dim(L, col, j, -1)
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(K))
+
+
+def _tri_solve_fori(L, r, trans=False):
+    """Substitution solve of L x = r (or L' x = r) for (..., n, n) lower
+    L and (..., n) r via ``lax.fori_loop`` — companion of ``_chol_fori``
+    (same no-lax.linalg constraint)."""
+    n = L.shape[-1]
+    idx = jnp.arange(n)
+
+    def fwd(i, x):
+        Li = jnp.take(L, i, axis=-2)                       # row i
+        s = jnp.sum(Li * (idx < i).astype(r.dtype) * x, axis=-1)
+        xi = (jnp.take(r, i, axis=-1) - s) / jnp.take(Li, i, axis=-1)
+        return jax.lax.dynamic_update_index_in_dim(x, xi, i, -1)
+
+    def bwd(k, x):
+        i = n - 1 - k
+        Lci = jnp.take(L, i, axis=-1)                      # column i = L'[i,:]
+        s = jnp.sum(Lci * (idx > i).astype(r.dtype) * x, axis=-1)
+        xi = (jnp.take(r, i, axis=-1) - s) / jnp.take(Lci, i, axis=-1)
+        return jax.lax.dynamic_update_index_in_dim(x, xi, i, -1)
+
+    return jax.lax.fori_loop(0, n, bwd if trans else fwd,
+                             jnp.zeros_like(r))
+
+
+def _state_dtype_kkt_solver(Q, A, active, mu, sigma, proximal: bool):
+    """b -> K^{-1} b with the FACTOR in the state dtype — the dense
+    analogue of the banded state-dtype escalation: below mu ~ 1e-8 the
+    float32 KKT factor mathematically cannot exist (spectral
+    cond > 1/eps32 — measured NaN on the real LISWET assembly), so the
+    preconditioner the PCG refinement rests on is NaN and the direction
+    collapses to the zero-guard (the dual-staircase class,
+    logs/dense_mu1e9_probe.log: rd 2.4e+20 at mu_min=1e-9 pre-fix).
+    Native Cholesky on CPU; the fori-loop variants elsewhere (TPU f64
+    Cholesky is a device-crash path).  Jacobi-prescaled like the fast
+    path."""
+    dt = Q.dtype
+    K = form_kkt(Q, A, active, mu, jnp.asarray(sigma, dt), proximal)
+    d = jnp.sqrt(jnp.diagonal(K, axis1=-2, axis2=-1))
+    d = jnp.where(d > 0, d, 1.0)
+    dinv = 1.0 / d
+    Khat = K * dinv[..., :, None] * dinv[..., None, :]
+    if jax.default_backend() == "cpu":
+        L = jnp.linalg.cholesky(Khat)
+
+        def solve(b):
+            z = jax.scipy.linalg.solve_triangular(
+                L, (b * dinv)[..., None], lower=True)
+            z = jax.scipy.linalg.solve_triangular(
+                L, z, lower=True, trans=1)[..., 0]
+            return z * dinv
+    else:
+        L = _chol_fori(Khat)
+
+        def solve(b):
+            z = _tri_solve_fori(L, b * dinv)
+            z = _tri_solve_fori(L, z, trans=True)
+            return z * dinv
+
+    return solve
+
+
 def _exact_kmv(Q, A, w, sigma, proximal: bool, kdt, dt):
     """v -> K(w) v with O(n^2+mn) matvecs in the KKT dtype: they only
     bound dx's accuracy at ~eps(kdt) relative, which is enough —
@@ -128,7 +212,8 @@ def newton_system_solve(Q, A, active, mu, sigma, rhs, proximal: bool,
                         pallas_formation: bool = False,
                         ytilde=None, res_dual_in=None,
                         pcg_refine: int = 0,
-                        pallas_kkt: bool = False):
+                        pallas_kkt: bool = False,
+                        escalate_rtol: float = 0.0):
     """Form K and solve K dx = rhs (the factorization event of newton.c:21-49).
 
     With ``kkt_dtype`` set (e.g. float32 while the state is float64), the
@@ -257,7 +342,24 @@ def newton_system_solve(Q, A, active, mu, sigma, rhs, proximal: bool,
             return Kv
 
         tol = 1e-9 if dt == jnp.dtype(jnp.float64) else 1e-5
-        dx, _, _ = pcg(Kmv_exact, rhs, solve1, tol, pcg_refine)
+        dx, _, rel = pcg(Kmv_exact, rhs, solve1, tol, pcg_refine)
+
+        # STATE-DTYPE ESCALATION (Settings.kkt_escalate_rtol), the dense
+        # analogue of the banded gate: when the PCG residual stagnates or
+        # NaNs (the f32 factor cannot exist beyond cond ~ 1/eps32 — the
+        # mu <= 1e-8 dual-staircase class), re-factor in the state dtype
+        # inside a lax.cond.  Never engaged in programs with
+        # pcg_refine == 0 (e.g. the bench configs at mu_min = 1e-7).
+        if escalate_rtol > 0 and kdt != dt:
+            esc_ok = rel <= escalate_rtol        # False on NaN
+
+            def exact_path(_):
+                solve64 = _state_dtype_kkt_solver(
+                    Q, A, active, mu, sigma, proximal)
+                dx2 = solve64(rhs)
+                return dx2 + solve64(rhs - Kmv_exact(dx2))
+
+            dx = jax.lax.cond(esc_ok, lambda _: dx, exact_path, None)
         finite = jnp.all(jnp.isfinite(dx))
         return jnp.where(finite, dx, jnp.zeros_like(dx))
 

@@ -302,6 +302,16 @@ class Settings:
     # kkt_dtype="float32" safe at the reference's own mu_min=1e-9
     # default (constants.h:55) on the dense path.
     kkt_pcg_refine: int = -1
+    # Dense analogue of banded_escalate_rtol: when the kkt_pcg_refine
+    # PCG stagnates or NaNs (the f32 factor cannot exist beyond
+    # cond ~ 1/eps32 — below mu ~ 1e-8 the dense path showed the same
+    # dual staircase as the banded one, rd 2.4e+20 at mu_min=1e-9,
+    # logs/dense_mu1e9_probe.log), re-factor in the STATE dtype: native
+    # Cholesky on CPU, fori-loop Cholesky/substitutions on TPU (no
+    # lax.linalg / no MXU dots, so f64 emulation carries it).  Lives
+    # inside the pcg_refine branch only — programs with pcg_refine=0
+    # (the bench configs at mu_min=1e-7) never contain it.
+    kkt_escalate_rtol: float = 1e-6
     # Two-level preconditioning: add a coarse-grid correction
     # (piecewise-constant aggregates of precond_block columns, dense
     # coarse factor) on top of block-Jacobi — removes the low-frequency

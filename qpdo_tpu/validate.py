@@ -109,6 +109,9 @@ def validate_settings(s: Settings) -> None:
     if s.banded_escalate_rtol < 0:
         raise ValueError(
             "banded_escalate_rtol must be nonnegative (0 disables)")
+    if s.kkt_escalate_rtol < 0:
+        raise ValueError(
+            "kkt_escalate_rtol must be nonnegative (0 disables)")
     if s.crash_recovery < 0:
         raise ValueError("crash_recovery must be nonnegative (0 disables)")
     if s.linesearch not in ("sort", "bisect", "bisect_chunk"):

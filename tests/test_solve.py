@@ -598,3 +598,64 @@ def test_f32_kkt_at_reference_mu_min():
     rp = np.max(np.abs(Ax - np.clip(Ax + y, 0.0, np.inf)))
     rd = np.max(np.abs(Q @ x - d + A.T @ y))
     assert max(rp, rd) < 2e-6, (rp, rd)
+
+
+def test_chol_fori_parity():
+    """The fori-loop Cholesky/substitutions (ops/linalg._chol_fori et
+    al. — the TPU-safe dense state-dtype escalation) match the native
+    implementations to machine precision, including batched."""
+    import jax
+    import jax.numpy as jnp
+    from qpdo_tpu.ops.linalg import _chol_fori, _tri_solve_fori
+
+    rng = np.random.default_rng(1)
+    for shape in ((30, 30), (4, 17, 17)):
+        M = rng.standard_normal(shape)
+        K = jnp.asarray(M @ np.swapaxes(M, -1, -2)
+                        + shape[-1] * np.eye(shape[-1]))
+        L, Lref = _chol_fori(K), jnp.linalg.cholesky(K)
+        np.testing.assert_allclose(L, Lref, atol=1e-11)
+        r = jnp.asarray(rng.standard_normal(shape[:-1]))
+        for trans in (False, True):
+            x = _tri_solve_fori(L, r, trans=trans)
+            xr = jax.scipy.linalg.solve_triangular(
+                Lref, r[..., None], lower=True, trans=int(trans))[..., 0]
+            np.testing.assert_allclose(x, xr, atol=1e-11)
+
+
+def test_dense_escalation_beyond_f32_breakdown():
+    """Round-4 regression, dense analogue of the banded staircase class:
+    at n=400 the dense LISWET at mu_min=1e-9 with kkt_dtype='float32'
+    exploded to rd ~ 2.4e+20 pre-fix (the f32 factor NaNs beyond
+    cond ~ 1/eps32, the PCG preconditioner is NaN from iteration 1, the
+    zero-guard direction staircases the duals at rp/mu —
+    logs/dense_mu1e9_probe.log).  With the state-dtype escalation
+    (Settings.kkt_escalate_rtol) it must SOLVE — and faster than at
+    mu_min=1e-7, whose crippled ALM outer rate is exactly why the
+    reference defaults to 1e-9 (constants.h:55)."""
+    import scipy.sparse as sps
+
+    n = 400
+    rng = np.random.default_rng(42)
+    d = np.sin(4 * np.pi * np.linspace(0, 1, n)) \
+        + 0.1 * rng.standard_normal(n)
+    Q = np.eye(n) * (1.0 + 1e-3)
+    m = n - 2
+    rows = np.repeat(np.arange(m), 3)
+    cols = (np.arange(m)[:, None] + np.array([0, 1, 2])[None, :]).ravel()
+    vals = np.tile(np.array([1.0, -2.0, 1.0]), m)
+    A = np.asarray(sps.csr_matrix((vals, (rows, cols)),
+                                  shape=(m, n)).todense())
+    p = qt.make_problem(Q, -d, A, np.zeros(m), np.full(m, np.inf))
+    s = qt.Settings(eps_abs=1e-6, max_iter=4000, inner_max_iter=100,
+                    eps_abs_in=0.1, rho=0.2, delta=1e-4, theta=0.9,
+                    kkt_dtype="float32", mu_min=1e-9, refine_steps=3,
+                    hybrid_warmup=False)
+    r = qt.solve(p, settings=s)
+    assert int(r.info.status_val) == qt.SOLVED
+    x, y = np.asarray(r.x), np.asarray(r.y)
+    assert np.max(np.abs(y)) < 1e5, "dual explosion (the staircase class)"
+    Ax = A @ x
+    rp = np.max(np.abs(Ax - np.clip(Ax + y, 0.0, np.inf)))
+    rd = np.max(np.abs(Q @ x - d + A.T @ y))
+    assert max(rp, rd) < 2e-6, (rp, rd)

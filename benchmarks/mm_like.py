@@ -438,14 +438,21 @@ def main(argv=None):
                            inner_max_iter=100, eps_abs_in=0.1,
                            rho=0.02, delta=0.1, max_time=1800.0,
                            precond_block=64, ruiz_kkt=args.ruiz_kkt)
-    if os.environ.get("QPDO_MM_TPU"):
+    if os.environ.get("QPDO_MM_TPU") or os.environ.get("QPDO_MM_F32CFG"):
         # TPU-safe precision: every factorization (banded direct, block-
         # Jacobi preconditioner) in float32 — a float64 Cholesky on the
         # axon chip is the documented device-crash path — with float64
-        # state + refinement recovering eps_abs (tpu_banded_cr.py numbers)
-        settings = settings.replace(kkt_dtype="float32", mu_min=1e-7,
-                                    precond_dtype="float32",
-                                    cg_dtype="float32", refine_steps=3)
+        # state + refinement recovering eps_abs (tpu_banded_cr.py numbers).
+        # QPDO_MM_F32CFG=1 applies the same config on CPU (a rehearsal of
+        # the TPU precision mode without touching the chip).
+        # mu_min 1e-7 is the historical measured config; the state-dtype
+        # escalation now carries the reference's 1e-9 default on-device
+        # too (RESULTS.md round 4) — QPDO_MM_MU_MIN=1e-9 to re-measure
+        settings = settings.replace(
+            kkt_dtype="float32",
+            mu_min=float(os.environ.get("QPDO_MM_MU_MIN", "1e-7")),
+            precond_dtype="float32",
+            cg_dtype="float32", refine_steps=3)
 
     per_family = {}
     rows = []

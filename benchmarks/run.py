@@ -314,7 +314,9 @@ def bench_maros():
     s = qt.Settings(eps_abs=1e-6, max_iter=2000, inner_max_iter=100,
                     eps_abs_in=0.1, rho=0.02, delta=0.1,
                     refine_steps=2, kkt_dtype="float32", hybrid_warmup=True,
-                    mu_min=1e-7)
+                    # historical measured floor; the escalation carries the
+                    # reference 1e-9 default too (QPDO_MM_MU_MIN re-measures)
+                    mu_min=float(os.environ.get("QPDO_MM_MU_MIN", "1e-7")))
     # TPU-safe sparse-path settings: float32 CG + preconditioner (a
     # float64 blocked Cholesky on the TPU is the device-crash path).
     # max_time forces host-driven 32-iteration chunking: a fully-jitted

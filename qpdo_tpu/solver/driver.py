@@ -33,6 +33,11 @@ _TIME_CHUNK = 32  # initial iterations between wall-clock checks
 # worker's multi-minute-execution crash threshold (RESULTS.md).
 _CHUNK_MAX = 2048
 _CHUNK_TARGET_S = 20.0
+# restore-retry bound: consecutive failed RESTORES (not attempts) allowed
+# before giving up — each waits up to 5 min, so 8 ≈ an extra half hour of
+# patience for a worker that answers subprocess probes but rejects
+# reattach (the round-4 ladder-killer failure mode)
+_RESTORE_MAX_FAILURES = 8
 
 
 def _adapt_chunk(chunk: int, exec_s: float) -> int:
@@ -186,26 +191,53 @@ def solve_driven(sp: ScaledProblem, settings: Settings, x0, y0,
 
     def run_chunk_safe(op, op_host, chunk_settings, state, cap):
         """_run_chunk + forced completion, with crash restore/retry.
-        Returns (op, state_after) — op is re-materialized on recovery."""
+        Returns (op, state_after) — op is re-materialized on recovery.
+
+        The restore itself (re-materializing host snapshots on-device) is
+        a device operation and can ALSO die while the worker is still
+        recovering — the round-4 n=90k ladder was lost exactly there
+        (JaxRuntimeError escaping from the unprotected restore in the
+        except handler).  So the restore runs INSIDE the protected loop:
+        a failed restore re-probes the backend and retries with backoff,
+        and only failed solve *attempts* consume a recovery credit."""
         nonlocal recovery
         snap = _host_tree(state) if recovery > 0 else None
+        needs_restore = False
+        restore_failures = 0
         while True:
             try:
+                if needs_restore:
+                    op = _device_tree(op_host)
+                    state = _device_tree(snap)
+                    needs_restore = False
+                    restore_failures = 0
                 out = _run_chunk(op, chunk_settings, state,
                                  jnp.asarray(cap, jnp.int32))
                 int(out.status)  # force execution: crashes surface HERE
                 return op, out
             except Exception as e:  # noqa: BLE001 — device loss is untyped
-                if recovery <= 0:
+                if recovery <= 0 and not needs_restore:
                     raise
-                recovery -= 1
-                print(f"# device execution failed ({type(e).__name__}); "
-                      f"attempting backend recovery "
-                      f"({recovery} retries left)", flush=True)
+                if needs_restore:
+                    # the RESTORE failed: the fresh-subprocess probe can
+                    # pass while this process's reattach still fails, so
+                    # back off and re-probe without spending a credit
+                    restore_failures += 1
+                    if restore_failures > _RESTORE_MAX_FAILURES:
+                        raise
+                    print(f"# state restore failed ({type(e).__name__}); "
+                          f"backend still recovering — backoff "
+                          f"{restore_failures}/{_RESTORE_MAX_FAILURES}",
+                          flush=True)
+                    time.sleep(min(30.0 * restore_failures, 300.0))
+                else:
+                    recovery -= 1
+                    print(f"# device execution failed ({type(e).__name__});"
+                          f" attempting backend recovery "
+                          f"({recovery} retries left)", flush=True)
                 if not _recover_backend():
                     raise
-                op = _device_tree(op_host)
-                state = _device_tree(snap)
+                needs_restore = True
 
     hybrid = (settings.hybrid_warmup
               and core.as_operator(sp).dtype != jnp.float32)

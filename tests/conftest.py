@@ -21,3 +21,26 @@ import jax  # noqa: E402
 # computation ran yet in this process).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# ---------------------------------------------------------------------------
+# xdist crash-retry: the XLA-CPU compiler segfaults nondeterministically at
+# high per-process jit-compile counts (CLAUDE.md; each test passes in
+# isolation).  Without this hook a segfaulted worker reports its in-flight
+# test as FAILED; instead, reschedule it (up to twice) on a fresh worker —
+# pytest.ini's --max-worker-restart supplies the replacement workers.
+
+_crash_retries = {}
+
+
+def pytest_handlecrashitem(crashitem, report, sched):
+    n = _crash_retries.get(crashitem, 0)
+    if n < 2 and hasattr(sched, "mark_test_pending"):
+        _crash_retries[crashitem] = n + 1
+        sched.mark_test_pending(crashitem)
+        report.outcome = "rerun"
+
+
+def pytest_report_teststatus(report, config):
+    if getattr(report, "outcome", None) == "rerun":
+        return "rerun", "R", ("RERUN", {"yellow": True})

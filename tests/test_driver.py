@@ -113,6 +113,79 @@ def test_crash_recovery_resumes_from_snapshot(monkeypatch):
     assert rp < 1e-6 and rd < 1e-6
 
 
+def test_crash_recovery_survives_failed_restore(monkeypatch):
+    """The RESTORE path is itself protected (round-5 fix of the round-4
+    ladder-killer, driver.py:207): when re-materializing the snapshot
+    raises because the worker is still recovering, the driver backs off,
+    re-probes, and retries the restore — WITHOUT spending a recovery
+    credit — then completes the solve."""
+    from qpdo_tpu.solver import driver
+
+    real_run_chunk = driver._run_chunk
+    real_device_tree = driver._device_tree
+    calls = {"chunk": 0, "restore": 0, "probes": 0}
+
+    def flaky_run_chunk(op, settings, state, cap):
+        calls["chunk"] += 1
+        if calls["chunk"] == 1:
+            raise RuntimeError("simulated device/worker crash")
+        return real_run_chunk(op, settings, state, cap)
+
+    def flaky_device_tree(t):
+        calls["restore"] += 1
+        # fail the first TWO restore attempts (each attempt makes up to
+        # two _device_tree calls; fail on the first of each)
+        if calls["restore"] <= 2:
+            raise RuntimeError("TPU worker process crashed or restarted")
+        return real_device_tree(t)
+
+    monkeypatch.setattr(driver, "_run_chunk", flaky_run_chunk)
+    monkeypatch.setattr(driver, "_device_tree", flaky_device_tree)
+    monkeypatch.setattr(
+        driver, "_recover_backend",
+        lambda *a, **k: calls.__setitem__("probes", calls["probes"] + 1)
+        or True)
+    monkeypatch.setattr(driver.time, "sleep", lambda s: None)
+
+    Q, q, A, l, u = random_qp(40, 60, seed=9)
+    # crash_recovery=1: ONE credit; it must cover the failed attempt while
+    # the two failed restores cost nothing
+    s = qt.Settings(max_time=600.0, crash_recovery=1)
+    res = qt.solve(qt.make_problem(Q, q, A, l, u), s)
+    assert calls["restore"] >= 3  # two failed + successful restore pair
+    assert calls["probes"] == 3   # re-probed after each failure
+    assert int(res.info.status_val) == qt.SOLVED
+    rp, rd = kkt_residuals(Q, q, A, l, u, np.asarray(res.x),
+                           np.asarray(res.y))
+    assert rp < 1e-6 and rd < 1e-6
+
+
+def test_crash_recovery_restore_failures_bounded(monkeypatch):
+    """A restore that NEVER succeeds gives up after _RESTORE_MAX_FAILURES
+    backoff rounds instead of looping forever."""
+    import pytest as _pytest
+
+    from qpdo_tpu.solver import driver
+
+    def boom_chunk(op, settings, state, cap):
+        raise RuntimeError("simulated device/worker crash")
+
+    def boom_restore(t):
+        raise RuntimeError("TPU worker process crashed or restarted")
+
+    monkeypatch.setattr(driver, "_run_chunk", boom_chunk)
+    monkeypatch.setattr(driver, "_device_tree", boom_restore)
+    monkeypatch.setattr(driver, "_recover_backend", lambda *a, **k: True)
+    sleeps = []
+    monkeypatch.setattr(driver.time, "sleep", sleeps.append)
+
+    Q, q, A, l, u = random_qp(30, 45, seed=11)
+    s = qt.Settings(max_time=600.0, crash_recovery=5)
+    with _pytest.raises(RuntimeError):
+        qt.solve(qt.make_problem(Q, q, A, l, u), s)
+    assert len(sleeps) == driver._RESTORE_MAX_FAILURES
+
+
 def test_crash_recovery_disabled_propagates(monkeypatch):
     """crash_recovery=0 keeps the old contract: the exception escapes."""
     import pytest as _pytest

@@ -69,3 +69,36 @@ def test_solve_heterogeneous():
         assert res.x.shape == (n,)
         rp, rd = kkt_residuals(Q, q, A, l, u, res.x, res.y)
         assert rp <= 1e-6 and rd <= 1e-6
+
+
+def test_vmapped_padding_batch_inert():
+    """The bench.py QPDO_BENCH_PAD path: a vmapped pad_problem over a
+    stacked batch, solved lock-step, must match the unpadded batched
+    solve on the original coordinates (MXU-alignment padding must never
+    change what is computed, only how it tiles)."""
+    from qpdo_tpu.parallel.batch import solve_batch
+
+    B, n, m = 6, 20, 30
+    rng = np.random.default_rng(5)
+    M = rng.standard_normal((B, n, n))
+    Q = np.einsum("bij,bkj->bik", M, M) / n + 0.1 * np.eye(n)
+    probs = qt.Problem(
+        Q=jnp.asarray(Q), q=jnp.asarray(rng.standard_normal((B, n))),
+        A=jnp.asarray(rng.standard_normal((B, m, n))),
+        l=jnp.asarray(-rng.random((B, m))),
+        u=jnp.asarray(rng.random((B, m))),
+        c=jnp.zeros((B,)))
+    padded = jax.vmap(lambda p: pad_problem(p, 32, 40))(probs)
+    assert padded.A.shape == (B, 40, 32)
+
+    res = solve_batch(probs)
+    res_p = solve_batch(padded)
+    np.testing.assert_array_equal(np.asarray(res_p.info.status_val),
+                                  np.asarray(res.info.status_val))
+    np.testing.assert_array_equal(np.asarray(res_p.info.iterations),
+                                  np.asarray(res.info.iterations))
+    np.testing.assert_allclose(np.asarray(res_p.x)[:, :n],
+                               np.asarray(res.x), atol=1e-10)
+    # padded tail provably at zero
+    np.testing.assert_allclose(np.asarray(res_p.x)[:, n:], 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res_p.y)[:, m:], 0.0, atol=1e-12)

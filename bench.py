@@ -21,7 +21,9 @@ import numpy as np
 def flops_per_iteration(n: int, m: int, refine_steps: int,
                         kkt_update_rows: int = 0,
                         anchor_every: int = 10,
-                        with_certs: bool = True) -> float:
+                        with_certs: bool = True,
+                        kkt_solver: str = "chol",
+                        kkt_ns_steps: int = 2) -> float:
     """Analytic FLOPs of one solver iteration for one problem (multiply+add
     = 2 FLOPs).  Counts the O(n^2)/O(mn) dense work of solver/core.py
     `step` + ops/linalg.py `newton_system_solve` (or its incremental
@@ -38,6 +40,17 @@ def flops_per_iteration(n: int, m: int, refine_steps: int,
         cert_gemms = 8.0 * m * n + 2.0 * n * n   # A@[dx,dxc], A'@[dy,dyc], Qdxc
     else:
         cert_gemms = 4.0 * m * n                 # A@dx, A'@dy only
+    if kkt_solver == "ns":
+        # Newton-Schulz-tracked inverse: formation + KX/NS GEMMs + the
+        # apply/refine GEMVs, plus the anchored exact inverse rebuild
+        # (Cholesky + matrix-RHS trisolve + GEMM) amortized over
+        # anchor_every iterations
+        formation = 2.0 * m * n * n
+        ns = kkt_ns_steps * 4.0 * n ** 3 + 2.0 * n ** 3  # steps + resym/KX
+        apply_refine = 6.0 * n * n
+        anchor = (n ** 3 / 3.0 + 2.0 * n ** 3) / anchor_every
+        return (formation + ns + apply_refine + anchor + at_ytilde
+                + qdx + cert_gemms)
     if kkt_update_rows > 0:
         k = min(kkt_update_rows, m)
         formation = (2.0 * k * n * n               # top-k row update
@@ -383,7 +396,18 @@ def main():
                                ("kkt", "all"),
                            # op-count cut A/B (round-3 verdict item 6)
                            fused_newton_rhs=bool(int(os.environ.get(
-                               "QPDO_BENCH_FUSEDRHS", "0"))))
+                               "QPDO_BENCH_FUSEDRHS", "0"))),
+                           # round-5 factorization-free dense Newton
+                           # solve A/B: "cg"/"inv"/"ns" replace the
+                           # 0.02-TFLOPS batched Cholesky/trisolve with
+                           # GEMM/matvec work (docs/API.md); "ns" is the
+                           # fixed-big-op Newton-Schulz-tracked inverse
+                           kkt_solver=os.environ.get(
+                               "QPDO_BENCH_KKTSOLVER", "chol"),
+                           kkt_ns_steps=int(os.environ.get(
+                               "QPDO_BENCH_NSSTEPS", "3")),
+                           kkt_cg_fixed=int(os.environ.get(
+                               "QPDO_BENCH_CGFIXED", "0")))
 
     def run_sync():
         # straggler compaction: identical per-problem algorithm decisions
@@ -464,10 +488,14 @@ def main():
         # arithmetic, so achieved-TFLOPS reflects the work the chip did
         f = B * warm_iters * flops_per_iteration(
             n_s, m_s, settings.warmup_refine_steps, settings.kkt_update_rows,
-            settings.anchor_every, with_certs=False)
+            settings.anchor_every, with_certs=False,
+            kkt_solver=settings.kkt_solver,
+            kkt_ns_steps=settings.kkt_ns_steps)
         f += B * p2_iters * flops_per_iteration(
             n_s, m_s, settings.refine_steps, settings.kkt_update_rows,
-            settings.anchor_every, with_certs=certs_in_phase2)
+            settings.anchor_every, with_certs=certs_in_phase2,
+            kkt_solver=settings.kkt_solver,
+            kkt_ns_steps=settings.kkt_ns_steps)
         if settings.polish:
             # two polish calls per solve: post-warmup + final
             f += B * 2 * polish_flops(n_s, m_s, settings.polish_refine)

@@ -445,12 +445,17 @@ def main(argv=None):
         # state + refinement recovering eps_abs (tpu_banded_cr.py numbers).
         # QPDO_MM_F32CFG=1 applies the same config on CPU (a rehearsal of
         # the TPU precision mode without touching the chip).
-        # mu_min 1e-7 is the historical measured config; the state-dtype
-        # escalation now carries the reference's 1e-9 default on-device
-        # too (RESULTS.md round 4) — QPDO_MM_MU_MIN=1e-9 to re-measure
+        # mu_min 1e-9 (the reference default, constants.h:55) is the
+        # recorded config since round 5: the CVXQP1S 3,459-iteration
+        # tail that round 4 attributed to the 1e-9 floor is floor-
+        # INDEPENDENT (bit-identical trajectory at 1e-7 — mu never
+        # shrinks below 1.1e-4 on that instance; the tail is the
+        # scale-stress/A-only-Ruiz mu-schedule freeze, fixed 51x by
+        # --ruiz-kkt; scripts/cvxqp1s_diag.py, RESULTS.md round 5), and
+        # the state-dtype escalation carries 1e-9 on-device (round 4).
         settings = settings.replace(
             kkt_dtype="float32",
-            mu_min=float(os.environ.get("QPDO_MM_MU_MIN", "1e-7")),
+            mu_min=float(os.environ.get("QPDO_MM_MU_MIN", "1e-9")),
             precond_dtype="float32",
             cg_dtype="float32", refine_steps=3)
 

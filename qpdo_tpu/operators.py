@@ -32,6 +32,18 @@ import jax.numpy as jnp
 
 from .types import ScaledProblem, Settings
 
+# Static robustness-gate floors (Settings.robust_gate_auto): each banded
+# fallback branch is compiled only when mu can reach the regime where its
+# failure mode exists.  The CR Schur-cancellation class was measured at
+# cond(K) ~ 1e7 (f32, mu ~ 1e-7; scripts/cr_traj_diag.py) — engage the
+# scan fallback once mu_min can push cond past ~1e6.  The f32 factor
+# mathematically cannot exist past cond ~ 1/eps32 (~1e7-1e8): the
+# state-dtype escalation engages below mu_min = 1e-7, matching the dense
+# kkt_pcg_refine auto rule and CLAUDE.md's "mu_min >= 1e-7 is the fast
+# path" boundary.
+_CR_FALLBACK_MU_FLOOR = 1e-6
+_ESCALATE_MU_FLOOR = 1e-7
+
 
 # ---------------------------------------------------------------------------
 # Pytree vector helpers
@@ -251,6 +263,10 @@ class DenseOperator(NamedTuple):
                      ytilde=None, res_dual_in=None):
         from .ops.linalg import newton_system_solve
         d = self.sp.data
+        if settings.kkt_solver == "cg":
+            return self._newton_solve_cg(active, mu, sigma, rhs, settings,
+                                         dx_prev, tol_hint,
+                                         ytilde, res_dual_in)
         pcg_iters = settings.kkt_pcg_refine
         if pcg_iters < 0:  # AUTO: only the f32-factor/tiny-mu regime pays
             reduced = (settings.kkt_dtype is not None
@@ -269,13 +285,31 @@ class DenseOperator(NamedTuple):
     # -- Incremental KKT formation (Settings.kkt_update_rows > 0): the
     # TPU analogue of the reference's rank-k factor updates
     # (cholmod_interface.c:57-93) — see ops/linalg.py.
-    def kkt_cache_init(self, active, mu, settings: Settings):
-        from .ops.linalg import kkt_cache_build
+    def kkt_cache_init(self, active, mu, settings: Settings, sigma=None):
         d = self.sp.data
+        if sigma is None:
+            sigma = jnp.asarray(settings.sigma_init, self.dtype)
+        if settings.kkt_solver in ("inv", "ns"):
+            # anchored explicit inverse (refreshed by run_loop's nested
+            # loop every anchor_every iterations); sigma drifts between
+            # anchors but X is only a preconditioner — exactness comes
+            # from CG over the CURRENT K each Newton step
+            from .ops.linalg import kkt_inverse
+            return kkt_inverse(d.Q, d.A, active, mu, sigma,
+                               settings.proximal, settings.kkt_dtype)
+        from .ops.linalg import kkt_cache_build
         return kkt_cache_build(d.Q, d.A, active / mu, settings.kkt_dtype)
 
     def newton_solve_cached(self, active, mu, sigma, rhs,
-                            settings: Settings, cache):
+                            settings: Settings, cache, dx_prev=None,
+                            tol_hint=None):
+        if settings.kkt_solver == "ns":
+            return self._newton_solve_ns(active, mu, sigma, rhs,
+                                         settings, cache)
+        if settings.kkt_solver == "inv":
+            return self._newton_solve_inv(active, mu, sigma, rhs,
+                                          settings, cache, dx_prev,
+                                          tol_hint)
         from .ops.linalg import newton_system_solve_cached
         d = self.sp.data
         return newton_system_solve_cached(
@@ -283,12 +317,279 @@ class DenseOperator(NamedTuple):
             settings.refine_steps, settings.kkt_dtype,
             settings.kkt_update_rows)
 
+    def _newton_solve_ns(self, active, mu, sigma, rhs, settings: Settings,
+                         X):
+        """Newton-Schulz-TRACKED inverse (Settings.kkt_solver="ns"): a
+        fixed count of LARGE MXU ops per Newton step, no inner loop.
+
+        Round-5 probe verdict: on this chip per-kernel launch latency
+        (~20-40 us) times the number of sequential small ops is the real
+        cost model — a while-loop PCG pays ~0.3-0.5 ms PER CG ITERATION
+        in predicate/reduction/GEMV dribble, while the pure-GEMM
+        candidate iteration (formation + 2 NS steps + apply) runs at
+        1.7 ms (B=256) / 6.7 TFLOPS (B=1024).  So the direction solve is
+        restructured as O(1) big ops:
+
+          1. K = formation GEMM (current, exact w);
+          2. safeguarded damping: bound lam ~ ||KX||_2 via
+             sqrt(||KX||_1 ||KX||_inf) and rescale X <- cX with
+             c = min(1, 1.9/lam) — Newton-Schulz contracts iff
+             eigs(KX) in (0,2), and a mu shrink (factor 10-100 at outer
+             updates) would otherwise push the spectral radius of
+             (I - KX) to ~9 and square it into NaN;
+          3. kkt_ns_steps Newton-Schulz updates X <- X(2I - KX)
+             (2 GEMMs each, error SQUARES per step while contracting);
+          4. dx = X rhs + one monotone-guarded Richardson correction
+             (3 GEMVs + 2 norms);
+          5. resymmetrize X (NS preserves symmetry only in exact
+             arithmetic).
+
+        The anchored exact rebuild (run_loop's nested refresh ->
+        kkt_cache_init -> ops/linalg.kkt_inverse) bounds drift every
+        anchor_every iterations exactly like the reference's periodic
+        refactorization (newton.c:21-24): a damped post-shrink X recovers
+        quadratically over the next few steps or is replaced at the next
+        anchor, whichever comes first.  Returns (dx, X_new)."""
+        from .ops.linalg import form_kkt
+
+        d = self.sp.data
+        dt = self.dtype
+        kdt = jnp.dtype(settings.kkt_dtype) if settings.kkt_dtype else dt
+        proximal = settings.proximal
+        K = form_kkt(d.Q.astype(kdt), d.A.astype(kdt), active.astype(kdt),
+                     mu.astype(kdt), jnp.asarray(sigma, kdt), proximal)
+        n = K.shape[-1]
+        eye = jnp.eye(n, dtype=kdt)
+        ns_steps = max(1, settings.kkt_ns_steps)
+
+        KX = K @ X
+        # spectral-radius safeguard: lam >= ||KX||_2
+        lam = jnp.sqrt(jnp.max(jnp.sum(jnp.abs(KX), axis=-1))
+                       * jnp.max(jnp.sum(jnp.abs(KX), axis=-2)))
+        c = jnp.minimum(jnp.asarray(1.0, kdt),
+                        jnp.asarray(1.9, kdt) / jnp.maximum(lam, 1e-30))
+        X = c * X
+        KX = c * KX
+        for i in range(ns_steps):
+            if i > 0:
+                KX = K @ X
+            X = X @ (2.0 * eye - KX)
+        X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
+
+        rhs_k = rhs.astype(kdt)
+        dx0 = X @ rhs_k
+        r0 = rhs_k - K @ dx0
+        dx1 = dx0 + X @ r0
+        r1 = rhs_k - K @ dx1
+        better = jnp.linalg.norm(r1) < jnp.linalg.norm(r0)
+        dx = jnp.where(better, dx1, dx0).astype(dt)
+        if kdt != dt:
+            # one state-dtype correction (the kkt_dtype contract)
+            w = active / mu
+
+            def Kmv(v):
+                Kv = d.Q @ v + d.A.T @ (w * (d.A @ v))
+                if proximal:
+                    Kv = Kv + sigma * v
+                return Kv
+
+            r = rhs - Kmv(dx)
+            dx_new = dx + (X @ r.astype(kdt)).astype(dt)
+            better2 = (jnp.linalg.norm(rhs - Kmv(dx_new))
+                       < jnp.linalg.norm(r))
+            dx = jnp.where(better2, dx_new, dx)
+        # a diverged X must not poison the cache: fall back to a Jacobi
+        # guess (recovered exactly at the next anchor rebuild)
+        x_ok = jnp.all(jnp.isfinite(X))
+        dK = jnp.diagonal(K, axis1=-2, axis2=-1)
+        jac = jnp.zeros_like(X) + (jnp.where(dK > 0, 1.0 / jnp.where(
+            dK > 0, dK, 1.0), 1.0)[..., :, None] * eye)
+        X = jnp.where(x_ok, X, jac)
+        finite = jnp.all(jnp.isfinite(dx))
+        return jnp.where(finite, dx, jnp.zeros_like(dx)), X
+
+    def _newton_solve_inv(self, active, mu, sigma, rhs, settings: Settings,
+                          X, dx_prev=None, tol_hint=None):
+        """Anchored-inverse Newton solve (Settings.kkt_solver="inv").
+
+        Per Newton step: form the CURRENT K (one MXU GEMM) and run a
+        FIXED number of CG iterations preconditioned by the anchored
+        explicit inverse X ~= K_anchor^{-1} (one GEMM-apply per CG
+        iteration, no triangular solves anywhere in the loop).  Between
+        anchors K drifts only through mu shrinks / sigma updates /
+        active-set flips, so the preconditioned spectrum stays tightly
+        clustered and a handful of iterations recovers the direction;
+        the anchor refresh (run_loop nested loop -> rebuild_kkt_cache)
+        bounds staleness exactly like the reference's periodic full
+        refactorization (newton.c:21-24, RESET_NEWTON_ITER).
+
+        Replaces the lax.linalg batched Cholesky+trisolve path that the
+        round-5 probes measured at 0.02 TFLOPS (~5 of the 5.3 ms bench
+        iteration) with pure GEMM/matvec work.  Returns (dx, X)."""
+        from .ops.cg import cg_fixed, pcg
+        from .ops.linalg import form_kkt
+
+        d = self.sp.data
+        dt = self.dtype
+        kdt = jnp.dtype(settings.kkt_dtype) if settings.kkt_dtype else dt
+        w = active / mu
+        proximal = settings.proximal
+        K = form_kkt(d.Q.astype(kdt), d.A.astype(kdt), active.astype(kdt),
+                     mu.astype(kdt), jnp.asarray(sigma, kdt), proximal)
+        iters = settings.kkt_cg_fixed
+
+        def precond(r):
+            return X @ r
+
+        if kdt == dt:
+            if iters <= 0:
+                # adaptive: early-exit PCG under the same Eisenstat-
+                # Walker forcing rule as the sparse CG path (directions
+                # only need a fraction of the current inner tolerance).
+                # With the anchored-inverse preconditioner the spectrum
+                # clusters at 1 and typical counts are single-digit, so
+                # the while_loop's per-iteration predicate cost stays
+                # bounded (unlike the Jacobi-CG mode it replaces, which
+                # ran 50-400 predicate-bearing iterations)
+                tol = 1e-9 if dt == jnp.dtype(jnp.float64) else 1e-5
+                if tol_hint is not None:
+                    rhs_norm = jnp.maximum(jnp.linalg.norm(rhs), 1e-30)
+                    tol = jnp.clip(0.05 * tol_hint / rhs_norm, tol, 1e-2)
+                # cap at 4n like the plain-CG mode: a 64-iteration cap
+                # binds on the f32 high-cond steps and inflates OUTER
+                # iterations 90 vs 57 (measured, bench batch)
+                dx, _, _ = pcg(lambda v: K @ v, rhs, precond, tol,
+                               min(settings.cg_max_iter, 4 * K.shape[-1]),
+                               x0=dx_prev)
+            else:
+                dx = cg_fixed(lambda v: K @ v, rhs, precond, iters,
+                              x0=dx_prev)
+        else:
+            # reduced-precision CG + state-dtype monotone refinement
+            # (the kkt_dtype contract of the direct path)
+            iters_eff = iters if iters > 0 else 8
+
+            def solve_lo(b, x0=None):
+                bk = b.astype(kdt)
+                return cg_fixed(lambda v: K @ v, bk, precond, iters_eff,
+                                x0=x0).astype(dt)
+
+            def Kmv(v):
+                Kv = d.Q @ v + d.A.T @ (w * (d.A @ v))
+                if proximal:
+                    Kv = Kv + sigma * v
+                return Kv
+
+            dx = solve_lo(rhs, None if dx_prev is None
+                          else dx_prev.astype(kdt))
+            r = rhs - Kmv(dx)
+            rn = jnp.linalg.norm(r)
+            for _ in range(settings.refine_steps):
+                dx_new = dx + solve_lo(r)
+                r_new = rhs - Kmv(dx_new)
+                rn_new = jnp.linalg.norm(r_new)
+                better = rn_new < rn
+                dx = jnp.where(better, dx_new, dx)
+                r = jnp.where(better, r_new, r)
+                rn = jnp.where(better, rn_new, rn)
+        finite = jnp.all(jnp.isfinite(dx))
+        return jnp.where(finite, dx, jnp.zeros_like(dx)), X
+
+    def _newton_solve_cg(self, active, mu, sigma, rhs, settings: Settings,
+                         dx_prev=None, tol_hint=None,
+                         ytilde=None, res_dual_in=None):
+        """Factorization-FREE dense Newton solve (Settings.kkt_solver="cg").
+
+        The round-5 shape probes showed the batched Cholesky+trisolve
+        path is the bench bottleneck: lax.linalg lowers to ~n sequential
+        steps of tiny ops and sustains 0.02 TFLOPS at (B=256, n=100)
+        while the formation GEMM sustains 0.5-2.9 — the factorization is
+        ~5 of the 5.3 ms iteration.  This mode forms K once per Newton
+        iteration (one MXU GEMM, the cheap part) and solves K dx = rhs
+        by Jacobi-preconditioned CG with materialized-K matvecs (one
+        (B,n,n)@(B,n) memory-bound matvec per CG iteration), warm-started
+        from the previous direction and driven by the Eisenstat-Walker
+        forcing term of tol_hint — early subproblems take a handful of
+        CG iterations.  The reference's exact-factorization semantics
+        are recovered in the state dtype by the caller's refinement
+        machinery; directions are INEXACT by construction, so
+        newton_exact() reports False and the full-step acceptance stays
+        off (same contract as SparseOperator)."""
+        from .ops.cg import pcg, pcg_refined
+        from .ops.linalg import form_kkt
+
+        d = self.sp.data
+        dt = self.dtype
+        kdt = jnp.dtype(settings.kkt_dtype) if settings.kkt_dtype else dt
+        w = active / mu
+        proximal = settings.proximal
+        if ytilde is not None:  # fused-rhs mode: no GEMM to ride here
+            rhs = -(res_dual_in
+                    + (d.A.T.astype(kdt) @ ytilde.astype(kdt)).astype(dt))
+
+        K = form_kkt(d.Q.astype(kdt), d.A.astype(kdt), active.astype(kdt),
+                     mu.astype(kdt), jnp.asarray(sigma, kdt), proximal)
+        diag = jnp.diagonal(K, axis1=-2, axis2=-1)
+        dinv = jnp.where(diag > 0,
+                         1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
+
+        tol = settings.cg_tol if dt == jnp.dtype(jnp.float64) else 1e-5
+        if tol_hint is not None:
+            rhs_norm = jnp.maximum(jnp.linalg.norm(rhs), 1e-30)
+            tol = jnp.clip(0.05 * tol_hint / rhs_norm, tol, 1e-2)
+        iters = min(settings.cg_max_iter, 4 * K.shape[-1])
+
+        if kdt == dt and settings.kkt_cg_fixed > 0:
+            # fixed-trip-count CG (no convergence predicate): the
+            # while_loop variant's per-iteration test dominates at
+            # batched small shapes on TPU (measured 4.2x slower than
+            # the factorization it replaced) — see ops/cg.cg_fixed
+            from .ops.cg import cg_fixed
+            dx = cg_fixed(lambda v: K @ v, rhs, dinv,
+                          settings.kkt_cg_fixed, x0=dx_prev)
+            finite = jnp.all(jnp.isfinite(dx))
+            return jnp.where(finite, dx, jnp.zeros_like(dx))
+
+        if kdt != dt:
+            # reduced-precision CG inside state-dtype refinement rounds:
+            # the K matvec and preconditioner run in kdt, the outer
+            # residual in the state dtype (mirrors the sparse cg_dtype
+            # path)
+            def Kmv_hi(v):
+                Kv = d.Q @ v + d.A.T @ (w * (d.A @ v))
+                if proximal:
+                    Kv = Kv + sigma * v
+                return Kv
+
+            def Kmv_lo(v):
+                return K @ v
+
+            dx, _, _ = pcg_refined(
+                Kmv_hi, Kmv_lo, rhs, dinv, tol, iters,
+                settings.cg_refine_rounds, kdt,
+                x0=dx_prev)
+        else:
+            dx, _, _ = pcg(lambda v: K @ v, rhs, dinv, tol, iters,
+                           x0=dx_prev)
+        finite = jnp.all(jnp.isfinite(dx))
+        return jnp.where(finite, dx, jnp.zeros_like(dx))
+
     def newton_exact(self, settings: Settings) -> bool:
         """Directions are exact-direct except in incremental-KKT mode,
         where a stale K-tilde + fixed PCG budget can leave them inexact —
         the full-step acceptance (Settings.newton_full_step) must not
-        trust those (same reasoning as SparseOperator.newton_exact)."""
-        return settings.kkt_update_rows == 0
+        trust those (same reasoning as SparseOperator.newton_exact).
+        The factorization-free CG mode (kkt_solver="cg") is inexact by
+        construction.  The anchored-inverse mode ("inv") reports True:
+        its adaptive PCG drives the direction to a fixed relative
+        target, and the full-step acceptance is a MEASURED test (the
+        trial inner residual is computed exactly from the cache
+        increments of the actual dx) — a poor direction simply fails
+        the gamma-shrink test and falls back to the linesearch step, so
+        soundness does not rest on exactness (verified: CPU bench-batch
+        iteration parity with the direct path)."""
+        return (settings.kkt_update_rows == 0
+                and settings.kkt_solver in ("chol", "inv", "ns"))
 
     def saddle_polish(self, act, bnd, settings: Settings):
         """Equality-KKT polish solve on the identified active set
@@ -1015,11 +1316,24 @@ class SparseOperator(NamedTuple):
                 rn = jnp.where(better, rn_new, rn)
             return dx, rn
 
+        # STATIC robustness gating (Settings.robust_gate_auto): both
+        # fallback branches below exist only for reduced-precision
+        # factors at extreme cond(K) ~ 1/mu_min; kkt_dtype and mu_min
+        # are static settings, so the decision whether to COMPILE each
+        # branch at all is made here, at trace time — a batched fleet at
+        # mu_min >= 1e-7 carries no escalation select under vmap (the
+        # +35%/batch tax, RESULTS.md), while mu_min = 1e-9 programs keep
+        # full robustness.  Mirrors the dense kkt_pcg_refine=-1 rule.
+        auto = getattr(settings, "robust_gate_auto", True)
+        reduced_factor = jnp.finfo(kdt).eps > 1e-10
+
         if algo == "cr":
             dx, rn = run(self._banded_factor_cr(
                 D, E, settings.banded_cr_levels))
             rtol = settings.banded_cr_fallback_rtol
-            if rtol > 0:
+            if rtol > 0 and (not auto or (
+                    reduced_factor
+                    and settings.mu_min < _CR_FALLBACK_MU_FLOOR)):
                 rhs_n = jnp.maximum(jnp.linalg.norm(rhs),
                                     jnp.asarray(1e-30, dt))
                 ok = rn <= rtol * rhs_n          # False on NaN -> fallback
@@ -1047,7 +1361,8 @@ class SparseOperator(NamedTuple):
         # banded_escalate_rtol=0 there if measured (same caveat as the
         # CR fallback above).
         esc_rtol = getattr(settings, "banded_escalate_rtol", 0.0)
-        if esc_rtol > 0 and kdt != dt:
+        if esc_rtol > 0 and kdt != dt and (
+                not auto or settings.mu_min < _ESCALATE_MU_FLOOR):
             rhs_n = jnp.maximum(jnp.linalg.norm(rhs),
                                 jnp.asarray(1e-30, dt))
             esc_ok = rn <= esc_rtol * rhs_n

@@ -125,3 +125,47 @@ def pcg_refined(matvec_hi: Callable, matvec_lo: Callable, rhs, precond_lo,
         cond, body, (x, r, jnp.asarray(0, jnp.int32)))
     rel = jnp.linalg.norm(r) / jnp.maximum(rhs_norm, jnp.asarray(1e-30, dt))
     return x, k, rel
+
+
+def cg_fixed(matvec: Callable, rhs, precond, iters: int, x0=None):
+    """Preconditioned CG with a FIXED iteration count — no convergence
+    predicate, no residual-norm reductions, no early exit.
+
+    Rationale (round 5): on TPU the while_loop variant's per-iteration
+    convergence test is a scalar reduction + loop-carried predicate that
+    costs more than the matvec itself at batched small shapes — the
+    kkt_solver="cg" bench A/B measured 4.2x SLOWER than the Cholesky
+    path despite the matvec being ~100x cheaper than the factorization.
+    A fori_loop with a static trip count compiles to straight-line
+    pipelined code; accuracy control moves to the caller (warm start
+    from the previous Newton direction + the outer monotone-refinement/
+    forcing machinery), matching inexact-Newton semantics.
+
+    Division guards mirror ``pcg``: a converged (or breakdown) lane
+    takes no-op steps instead of producing NaN.
+    """
+    if not callable(precond):
+        diag_inv = precond
+        precond = lambda r: diag_inv * r
+
+    x = jnp.zeros_like(rhs) if x0 is None else x0
+    r = rhs - matvec(x) if x0 is not None else rhs
+    z = precond(r)
+    p = z
+    rz = jnp.dot(r, z)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        Kp = matvec(p)
+        pKp = jnp.dot(p, Kp)
+        alpha = jnp.where(pKp > 0, rz / jnp.where(pKp > 0, pKp, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Kp
+        z = precond(r)
+        rz_new = jnp.dot(r, z)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, r, p, rz = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+    return x

@@ -89,6 +89,31 @@ def cholesky_solve(K, rhs, refine_steps: int = 0):
     return dx
 
 
+def kkt_inverse(Q, A, active, mu, sigma, proximal: bool, kkt_dtype=None):
+    """Explicit K^{-1} for the anchored-inverse Newton mode
+    (Settings.kkt_solver="inv"): Jacobi-prescaled Cholesky + ONE
+    matrix-RHS triangular solve + one GEMM.
+
+    Built at ANCHOR cadence only (run_loop's nested refresh, every
+    anchor_every iterations — the amortized analogue of the reference's
+    periodic full refactorization, newton.c:21-24); between anchors the
+    returned X serves as the CG preconditioner over the CURRENT K, so
+    correctness never depends on staleness.  The matrix-RHS trisolve
+    costs the same sequential depth as the vector one but n-fold wider
+    work per step, which the TPU absorbs — this is the whole point of
+    applying the factor once per anchor instead of twice per iteration."""
+    dt = Q.dtype
+    kdt = jnp.dtype(kkt_dtype) if kkt_dtype is not None else dt
+    K = form_kkt(Q.astype(kdt), A.astype(kdt), active.astype(kdt),
+                 mu.astype(kdt), jnp.asarray(sigma, kdt), proximal)
+    chol, dinv = jacobi_cholesky(K)
+    n = K.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=kdt), K.shape)
+    Linv = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
+    Xhat = jnp.einsum("...ji,...jk->...ik", Linv, Linv)  # L^-T L^-1
+    return Xhat * dinv[..., :, None] * dinv[..., None, :]
+
+
 def _prescaled_tri_solver(chol, dinv, out_dtype):
     """b -> D^-1 (LL')^-1 D^-1 b for a Jacobi-prescaled factor: the one
     reduced-precision triangular-solve pair shared by the direct and

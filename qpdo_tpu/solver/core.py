@@ -130,13 +130,15 @@ def init_state(op, settings: Settings,
     zero = jnp.asarray(0.0, dt)
     i0 = jnp.asarray(0, jnp.int32)
     kkt_cache = None
-    if settings.kkt_update_rows > 0 and hasattr(op, "kkt_cache_init"):
+    if ((settings.kkt_update_rows > 0
+         or settings.kkt_solver in ("inv", "ns"))
+            and hasattr(op, "kkt_cache_init")):
         # initial cache from the init-state active set (w with ybar = y,
         # the same test step() applies, newton.c:96-107)
         w0 = tmap(lambda Ax1, mu1, y1: Ax1 + 0.5 * mu1 * y1, Ax, mu, y)
         active0 = tmap(lambda wv, l, u: ((wv <= l) | (wv >= u)).astype(dt),
                        w0, op.l, op.u)
-        kkt_cache = op.kkt_cache_init(active0, mu, settings)
+        kkt_cache = op.kkt_cache_init(active0, mu, settings, sigma=sigma)
     return SolverState(
         x=x, y=y, Qx=Qx, Ax=Ax, Aty=Aty, dx_prev=op.zeros_primal(),
         xbar=x, ybar=y, mu=mu,
@@ -308,7 +310,8 @@ def step(op, settings: Settings, s: SolverState) -> SolverState:
         rhs = tmap(lambda rd, aty: -(rd + aty), res_dual_in, At_ytilde)
         if s.kkt_cache is not None and hasattr(op, "newton_solve_cached"):
             dx, kkt_cache_new = op.newton_solve_cached(
-                active, s.mu, sigma, rhs, settings, s.kkt_cache)
+                active, s.mu, sigma, rhs, settings, s.kkt_cache,
+                dx_prev=s.dx_prev, tol_hint=s.eps_in)
         else:
             dx = op.newton_solve(active, s.mu, sigma, rhs, settings,
                                  dx_prev=s.dx_prev, tol_hint=s.eps_in)
@@ -567,14 +570,17 @@ def rebuild_kkt_cache(op, settings: Settings, s: SolverState) -> SolverState:
     refactorization, newton.c:21-24): resets the staleness of the rows
     beyond the per-iteration top-k updates."""
     op = as_operator(op)
-    if settings.kkt_update_rows <= 0 or not hasattr(op, "kkt_cache_init"):
+    if ((settings.kkt_update_rows <= 0
+         and settings.kkt_solver not in ("inv", "ns"))
+            or not hasattr(op, "kkt_cache_init")):
         return s
     dt = op.dtype
     w = tmap(lambda Ax1, mu1, ybar1, y1: Ax1 + mu1 * (ybar1 - 0.5 * y1),
              s.Ax, s.mu, s.ybar, s.y)
     active = tmap(lambda wv, l, u: ((wv <= l) | (wv >= u)).astype(dt),
                   w, op.l, op.u)
-    return s._replace(kkt_cache=op.kkt_cache_init(active, s.mu, settings))
+    return s._replace(kkt_cache=op.kkt_cache_init(active, s.mu, settings,
+                                                  sigma=s.sigma))
 
 
 def reanchor(op, settings: Settings, s: SolverState) -> SolverState:

@@ -291,6 +291,67 @@ class Settings:
     # (~1e-9 at its rel-tol) and well below garbage — it fires on
     # NaN/stagnation, never on solves the reduced factor carries fine.
     banded_escalate_rtol: float = 1e-6
+    # STATIC gating of the two banded robustness branches above (the CR
+    # scan-fallback and the state-dtype escalation): when True (default)
+    # each branch is compiled into the program ONLY in the regime where
+    # its failure mode can exist — a reduced-precision factor AND a mu
+    # floor below the branch's breakdown threshold (mu_min < 1e-6 for
+    # the CR cancellation class, measured at cond ~ 1e7; mu_min < 1e-7
+    # for f32-factor nonexistence, where cond > 1/eps32).  Both inputs
+    # are static settings, so the decision is made at trace time:
+    # batched fleets at sane mu floors stop paying the vmap select tax
+    # (+35%/batch measured, RESULTS.md) for branches that cannot fire —
+    # the reference pays for robustness once (f64 LDL' always,
+    # cholmod_interface.c:8-30); this pays only where the regime demands
+    # it.  Mirrors the dense kkt_pcg_refine=-1 auto rule.  False
+    # restores the always-compiled dynamic gates (the rtol settings
+    # alone decide).
+    robust_gate_auto: bool = True
+    # Dense-path Newton solver: "chol" = masked-matmul K formation +
+    # Jacobi-prescaled batched Cholesky + triangular solves (the direct
+    # path mirroring the reference's factorize+solve,
+    # cholmod_interface.c:8-30/98-102).  "cg" = FACTORIZATION-FREE: form
+    # K once per Newton iteration (one MXU GEMM) and solve by
+    # Jacobi-preconditioned CG on the materialized K — one memory-bound
+    # (B,n,n)@(B,n) matvec per CG iteration — warm-started from the
+    # previous direction with Eisenstat-Walker forcing from eps_in.
+    # Motivation (round-5 probes): lax.linalg's batched
+    # Cholesky/trisolves lower to ~n sequential steps and sustain 0.02
+    # TFLOPS at (B=256, n=100), ~5 of the 5.3 ms bench iteration, while
+    # the GEMM/matvec path rides the MXU/HBM at full rate.  Directions
+    # are inexact (newton_exact=False, full-step acceptance off);
+    # accuracy is carried by the forcing term + state-dtype refinement
+    # (cg_refine_rounds) exactly as on the sparse CG path.
+    # "inv" = ANCHORED EXPLICIT INVERSE: every anchor_every iterations
+    # (run_loop's nested refresh — the amortized analogue of the
+    # reference's periodic refactorization, newton.c:21-24) compute
+    # X = K^{-1} once via Cholesky + one matrix-RHS triangular solve +
+    # one GEMM; every Newton step forms the CURRENT K (one GEMM) and
+    # runs kkt_cg_fixed CG iterations preconditioned by X (one GEMM
+    # apply per iteration, zero triangular solves in the hot loop).
+    # Exactness never depends on X's staleness — X only preconditions.
+    # "ns" = NEWTON-SCHULZ-TRACKED inverse: a fixed count of large MXU
+    # ops per Newton step and NO inner loop — form the current K (one
+    # GEMM), damp X by the measured spectral bound of KX (mu shrinks
+    # would otherwise blow the NS iteration up), run kkt_ns_steps
+    # Newton-Schulz updates X <- X(2I - KX) (2 GEMMs each, error
+    # squares), apply dx = X rhs + one monotone Richardson correction,
+    # resymmetrize; the anchor-cadence exact rebuild bounds drift.  The
+    # TPU-optimal mode when per-kernel launch latency dominates (the
+    # round-5 probe cost model): ~5 GEMMs + 3 GEMVs per iteration.
+    kkt_solver: str = "chol"
+    # Newton-Schulz updates per Newton step in kkt_solver="ns" (2 GEMMs
+    # each; error contracts quadratically per step once damped).
+    kkt_ns_steps: int = 2
+    # Fixed CG trip count for kkt_solver="cg" when the state dtype
+    # equals the KKT dtype (the f32 warmup phase): run EXACTLY this many
+    # warm-started CG iterations per Newton step via fori_loop — no
+    # convergence predicate, no residual reductions.  0 = use the
+    # early-exit while_loop PCG (measured 4.2x slower than the direct
+    # path at the bench shape: the per-iteration convergence test costs
+    # more than the matvec).  Accuracy control is the caller's
+    # inexact-Newton machinery (warm start + monotone linesearch).
+    kkt_cg_fixed: int = 0
     # Dense-path analogue of banded_pcg_refine: PCG refinement of the
     # dense Newton solve, preconditioned by the kkt_dtype Cholesky, with
     # exact state-dtype matvecs.  -1 = AUTO: engage (32 iterations) only

@@ -114,6 +114,19 @@ def validate_settings(s: Settings) -> None:
             "kkt_escalate_rtol must be nonnegative (0 disables)")
     if s.crash_recovery < 0:
         raise ValueError("crash_recovery must be nonnegative (0 disables)")
+    if s.robust_gate_auto not in (True, False, 0, 1):
+        raise ValueError("robust_gate_auto must be a boolean")
+    if s.kkt_solver not in ("chol", "cg", "inv", "ns"):
+        raise ValueError(
+            "kkt_solver must be 'chol', 'cg', 'inv', or 'ns'")
+    if s.kkt_ns_steps < 1:
+        raise ValueError("kkt_ns_steps must be >= 1")
+    if s.kkt_solver in ("inv", "ns") and s.kkt_update_rows > 0:
+        raise ValueError(
+            "kkt_solver='inv' and kkt_update_rows > 0 both claim the "
+            "KKT cache slot — choose one")
+    if s.kkt_cg_fixed < 0:
+        raise ValueError("kkt_cg_fixed must be nonnegative (0 = while-PCG)")
     if s.linesearch not in ("sort", "bisect", "bisect_chunk"):
         raise ValueError(
             "linesearch must be 'sort', 'bisect', or 'bisect_chunk'")

@@ -659,3 +659,42 @@ def test_dense_escalation_beyond_f32_breakdown():
     rp = np.max(np.abs(Ax - np.clip(Ax + y, 0.0, np.inf)))
     rd = np.max(np.abs(Q @ x - d + A.T @ y))
     assert max(rp, rd) < 2e-6, (rp, rd)
+
+
+def test_kkt_solver_modes_match_direct():
+    """Round-5 factorization-free dense Newton modes: "cg" (while-PCG,
+    Eisenstat-Walker forcing), "inv" (anchored explicit inverse as CG
+    preconditioner), and "ns" (Newton-Schulz-tracked inverse, fixed
+    big-op count) must solve the same problems to the same oracle as the
+    direct path — directions are inexact, convergence is not."""
+    from utils import kkt_residuals, random_qp
+
+    Q, q, A, l, u = random_qp(40, 60, seed=21)
+    p = qt.make_problem(Q, q, A, l, u)
+    res_ref = qt.solve(p)
+    assert int(res_ref.info.status_val) == qt.SOLVED
+    for mode, extra in (("cg", {}), ("inv", {}),
+                        ("ns", {"kkt_ns_steps": 3}),
+                        ("ns", {"kkt_ns_steps": 2, "anchor_every": 5})):
+        res = qt.solve(p, qt.Settings(kkt_solver=mode, **extra))
+        assert int(res.info.status_val) == qt.SOLVED, mode
+        rp, rd = kkt_residuals(Q, q, A, l, u, np.asarray(res.x),
+                               np.asarray(res.y))
+        assert rp < 1e-6 and rd < 1e-6, (mode, rp, rd)
+        np.testing.assert_allclose(np.asarray(res.x),
+                                   np.asarray(res_ref.x), atol=1e-5)
+
+
+def test_kkt_solver_ns_f32_kkt_dtype():
+    """ns mode under the mixed-precision contract (f64 state, f32 K/X):
+    the state-dtype correction sweep must still deliver eps_abs."""
+    from utils import kkt_residuals, random_qp
+
+    Q, q, A, l, u = random_qp(50, 75, seed=22)
+    p = qt.make_problem(Q, q, A, l, u)
+    res = qt.solve(p, qt.Settings(kkt_solver="ns", kkt_dtype="float32",
+                                  mu_min=1e-7, refine_steps=2))
+    assert int(res.info.status_val) == qt.SOLVED
+    rp, rd = kkt_residuals(Q, q, A, l, u, np.asarray(res.x),
+                           np.asarray(res.y))
+    assert rp < 1e-6 and rd < 1e-6

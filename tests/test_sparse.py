@@ -945,3 +945,40 @@ def test_solve_f32_kkt_at_reference_mu_min_banded():
     rd = float(np.max(np.abs(Q @ x + q + A.T @ y)))
     assert np.max(np.abs(y)) < 1e5, "dual explosion (the staircase class)"
     assert rd < 1e-4 and rp < 1e-2, (rp, rd)
+
+
+def test_static_robust_gates_trace_time():
+    """Settings.robust_gate_auto (round-5): the banded robustness
+    branches are COMPILED ONLY where their failure regime is reachable —
+    kkt_dtype and mu_min are static, so the decision is trace-time and
+    batched fleets at sane mu floors carry no vmap select tax
+    (+35%/batch measured, RESULTS.md).  Pinned by jaxpr identity: with
+    the gate statically off, the program must be bit-identical to the
+    explicitly-disabled one."""
+    Q, q, A, l, u = _liswet_data(200, seed=2)
+    op = setup_sparse(Q, q, A, l, u)
+    assert op.bd_tmpl is not None
+    m, n = A.shape
+    w = jnp.full((m,), 1e5)
+    sigma = jnp.asarray(1e-3)
+    rhs = jnp.asarray(np.random.default_rng(1).standard_normal(n))
+
+    def jaxpr(settings):
+        return str(jax.make_jaxpr(
+            lambda wv, sv, rv: op._banded_solve(wv, sv, rv, settings))(
+                w, sigma, rhs))
+
+    base7 = qt.Settings(kkt_dtype="float32", mu_min=1e-7)
+    # mu_min = 1e-7: escalation cannot fire (f32+PCG is proven there) —
+    # same program as the explicit opt-out
+    assert jaxpr(base7) == jaxpr(base7.replace(banded_escalate_rtol=0.0))
+    # ...but robust_gate_auto=False restores the always-compiled branch
+    assert jaxpr(base7.replace(robust_gate_auto=False)) != jaxpr(base7)
+    # mu_min = 1e-5: the CR cancellation class is unreachable too — both
+    # branches out of the program
+    base5 = qt.Settings(kkt_dtype="float32", mu_min=1e-5, banded_algo="cr")
+    assert jaxpr(base5) == jaxpr(base5.replace(
+        banded_escalate_rtol=0.0, banded_cr_fallback_rtol=0.0))
+    # mu_min = 1e-9 (the reference default): full robustness stays in
+    base9 = qt.Settings(kkt_dtype="float32", mu_min=1e-9)
+    assert jaxpr(base9) != jaxpr(base9.replace(banded_escalate_rtol=0.0))

@@ -406,6 +406,8 @@ def main():
                                "QPDO_BENCH_KKTSOLVER", "chol"),
                            kkt_ns_steps=int(os.environ.get(
                                "QPDO_BENCH_NSSTEPS", "3")),
+                           kkt_inv_refresh=bool(int(os.environ.get(
+                               "QPDO_BENCH_NSREFRESH", "1"))),
                            kkt_cg_fixed=int(os.environ.get(
                                "QPDO_BENCH_CGFIXED", "0")))
 

@@ -101,8 +101,10 @@ def _solve_batch_compact(problems: Problem, settings: Settings, x0, y0,
                     act.reshape(act.shape + (1,) * (a.ndim - 1)), a, b),
                 new, st)
 
-        incremental = (stg.kkt_update_rows > 0
-                       and state.kkt_cache is not None)
+        # any carried KKT cache (incremental K-tilde, or the inv/ns
+        # inverse) takes the chunked cadence so the batch-global refresh
+        # bounds its staleness — mirrors core.run_loop's check
+        incremental = state.kkt_cache is not None
         if mixed or incremental:
             # chunk cadence (core.run_loop does this per problem; here it
             # is batch-global, which bounds drift/staleness identically):

@@ -574,6 +574,10 @@ def rebuild_kkt_cache(op, settings: Settings, s: SolverState) -> SolverState:
          and settings.kkt_solver not in ("inv", "ns"))
             or not hasattr(op, "kkt_cache_init")):
         return s
+    if (settings.kkt_solver in ("inv", "ns")
+            and settings.kkt_update_rows <= 0
+            and not settings.kkt_inv_refresh):
+        return s  # init-only inverse: NS tracking carries X
     dt = op.dtype
     w = tmap(lambda Ax1, mu1, ybar1, y1: Ax1 + mu1 * (ybar1 - 0.5 * y1),
              s.Ax, s.mu, s.ybar, s.y)

@@ -343,6 +343,15 @@ class Settings:
     # Newton-Schulz updates per Newton step in kkt_solver="ns" (2 GEMMs
     # each; error contracts quadratically per step once damped).
     kkt_ns_steps: int = 2
+    # Periodic exact rebuild of the inv/ns inverse cache at the anchor
+    # cadence (run_loop's nested refresh).  False = init-only: the NS
+    # tracking carries X alone — measured iteration-NEUTRAL-or-better on
+    # the bench batch (ns5: 48.3 iters untracked vs 54.5 refreshed vs
+    # 56.9 direct) while keeping lax.linalg (0.02 TFLOPS on TPU) out of
+    # the loop entirely; the damping guard + Jacobi NaN fallback bound
+    # divergence.  "inv" (X as PCG preconditioner) keeps True: its CG
+    # count grows with staleness.
+    kkt_inv_refresh: bool = True
     # Fixed CG trip count for kkt_solver="cg" when the state dtype
     # equals the KKT dtype (the f32 warmup phase): run EXACTLY this many
     # warm-started CG iterations per Newton step via fori_loop — no

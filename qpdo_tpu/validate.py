@@ -119,6 +119,8 @@ def validate_settings(s: Settings) -> None:
     if s.kkt_solver not in ("chol", "cg", "inv", "ns"):
         raise ValueError(
             "kkt_solver must be 'chol', 'cg', 'inv', or 'ns'")
+    if s.kkt_inv_refresh not in (True, False, 0, 1):
+        raise ValueError("kkt_inv_refresh must be a boolean")
     if s.kkt_ns_steps < 1:
         raise ValueError("kkt_ns_steps must be >= 1")
     if s.kkt_solver in ("inv", "ns") and s.kkt_update_rows > 0:

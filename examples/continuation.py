@@ -102,9 +102,14 @@ def main():
         print(f"  n={levels[i]:6d}: {r.info.status:10s} "
               f"{int(r.info.iterations):6d} iters", flush=True)
 
-    ladder = qt.solve_continuation(problems, settings, prolong=prolong,
-                                   dtype="float64", return_all=True,
-                                   refine_final=True, progress=progress)
+    # QPDO_EX_RESUME=<path.npz>: process-level ladder resume — the tier
+    # above crash_recovery for the axon fault class where the in-process
+    # client cannot reattach at all (round 5); pair with an outer retry
+    # loop that relaunches this script (scripts/tpu_queue_r5e.sh)
+    ladder = qt.solve_continuation(
+        problems, settings, prolong=prolong, dtype="float64",
+        return_all=True, refine_final=True, progress=progress,
+        resume_path=os.environ.get("QPDO_EX_RESUME") or None)
 
     res = ladder[-1]
     Q, q, A, l, u = problems[-1]

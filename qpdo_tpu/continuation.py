@@ -29,6 +29,7 @@ Two pieces:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Optional, Sequence
 
@@ -100,7 +101,8 @@ def solve_continuation(problems: Sequence,
                        dtype=None,
                        return_all: bool = False,
                        refine_final: bool = False,
-                       progress: Optional[Callable] = None):
+                       progress: Optional[Callable] = None,
+                       resume_path: Optional[str] = None):
     """Solve a coarse-to-fine ladder of QPs, warm-starting each level.
 
     ``problems``: one entry per level.  Each entry is either a dense
@@ -124,6 +126,19 @@ def solve_continuation(problems: Sequence,
     center and typically closes the gap in ~1 iteration (measured on
     LISWET n=90,000, RESULTS.md).
 
+    ``resume_path``: PROCESS-LEVEL resume file (``.npz``).  After every
+    completed level the unscaled solution is written there; a fresh
+    process started with the same path skips the completed levels and
+    prolongs the saved solution forward.  This is the recovery tier
+    ABOVE the in-process crash_recovery machinery: the axon fault class
+    can leave the in-process client unable to reattach even after
+    ``clear_backends`` (the round-5 n=90k ladder watched 8 restore
+    backoffs fail while fresh-subprocess probes passed), and only a
+    process restart recovers — an outer retry loop around the script
+    plus ``resume_path`` turns that into a resumed ladder instead of a
+    lost one.  With resume active, ``return_all`` carries ``None`` for
+    the skipped levels.
+
     Returns the finest level's ``Result`` (``info.run_time`` covers the
     whole ladder), or every level's when ``return_all``.
     """
@@ -134,10 +149,33 @@ def solve_continuation(problems: Sequence,
     if not problems:
         raise ValueError("solve_continuation: empty problem list")
 
+    def _prolong(x, y, i):
+        if prolong is None:
+            return x, y
+        try:
+            return prolong(x, y, i)
+        except TypeError:
+            return prolong(x, y)
+
     t0 = time.perf_counter()
     x0 = y0 = None
+    start = 0
+    if resume_path is not None and os.path.exists(resume_path):
+        snap = np.load(resume_path)
+        lvl = int(snap["level"])
+        x_s, y_s = snap["x"], snap["y"]
+        if lvl + 1 < len(problems):
+            x0, y0 = _prolong(x_s, y_s, lvl)
+            start = lvl + 1
+        else:  # finest already recorded: warm re-solve it from itself
+            x0, y0 = x_s, y_s
+            start = lvl
+
     results = []
     for i, p in enumerate(problems):
+        if i < start:
+            results.append(None)
+            continue
         if isinstance(p, Problem):
             res = solve(p, settings, x0=x0, y0=y0)
         else:
@@ -146,19 +184,19 @@ def solve_continuation(problems: Sequence,
             res = solve_sparse(Q, q, A, l, u, c, settings=settings,
                                x0=x0, y0=y0, dtype=dtype)
         results.append(res)
+        x, y = np.asarray(res.x), np.asarray(res.y)
+        if resume_path is not None:
+            # persist BEFORE any callback: the level is complete the
+            # moment the solve returns (atomic via tmp+rename)
+            tmp = resume_path + ".tmp.npz"
+            np.savez(tmp, level=i, x=x, y=y)
+            os.replace(tmp, resume_path)
         if progress is not None:
             # per-level hook so long ladders leave evidence as they go
             # (a device fault mid-ladder must not erase finished levels)
             progress(i, res)
         if i + 1 < len(problems):
-            x, y = np.asarray(res.x), np.asarray(res.y)
-            if prolong is None:
-                x0, y0 = x, y
-            else:
-                try:
-                    x0, y0 = prolong(x, y, i)
-                except TypeError:
-                    x0, y0 = prolong(x, y)
+            x0, y0 = _prolong(x, y, i)
 
     if refine_final:
         p = problems[-1]

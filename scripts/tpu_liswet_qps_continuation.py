@@ -89,9 +89,10 @@ def main():
                           "iters": int(r.info.iterations)}), flush=True)
 
     t0 = time.time()
-    res = qt.solve_continuation(problems, settings, prolong=prolong,
-                                dtype="float64", refine_final=True,
-                                progress=progress)
+    res = qt.solve_continuation(
+        problems, settings, prolong=prolong, dtype="float64",
+        refine_final=True, progress=progress,
+        resume_path=os.environ.get("QPDO_EX_RESUME") or None)
     x, y = np.asarray(res.x), np.asarray(res.y)
     Q, A = d.Q.tocsr(), d.A.tocsr()
     Ax = A @ x

@@ -5,6 +5,7 @@ second-difference constraints scale ~n^2, so cold solves crawl ~n
 iterations while a prolonged warm start hands the fine level a
 near-converged active set (RESULTS.md "LISWET continuation").
 """
+import os
 import numpy as np
 import pytest
 import scipy.sparse as sps
@@ -232,3 +233,72 @@ def test_refine_final_noop_when_oracle_passes():
     np.testing.assert_allclose(np.asarray(refined.x), np.asarray(plain.x),
                                atol=0)
     assert int(refined.info.iterations) == int(plain.info.iterations)
+
+
+def test_continuation_process_level_resume(tmp_path):
+    """resume_path: a ladder killed between levels resumes in a FRESH
+    process from the last completed level (the recovery tier above
+    crash_recovery, for the platform fault class where the in-process
+    client cannot reattach — round-5 n=90k ladder post-mortem)."""
+    import scipy.sparse as sps
+
+    def liswet(n):
+        rng = np.random.default_rng(1)
+        t = np.linspace(0, 1, n)
+        d = np.sin(4 * np.pi * t) + 0.1 * rng.standard_normal(n)
+        Q = sps.eye(n, format="csr") * (1.0 + 1e-3)
+        m = n - 2
+        rows = np.repeat(np.arange(m), 3)
+        cols = (np.arange(m)[:, None] + np.array([0, 1, 2])[None, :]).ravel()
+        vals = np.tile(np.array([1.0, -2.0, 1.0]), m)
+        A = sps.csr_matrix((vals, (rows, cols)), shape=(m, n))
+        return Q, -d, A, np.zeros(m), np.full(m, np.inf)
+
+    levels = [50, 100, 200]
+    problems = [liswet(n) for n in levels]
+
+    def prolong(x, y, i):
+        return qt.grid1d_prolong(levels[i], levels[i + 1], order=2)(x, y)
+
+    s = qt.Settings(eps_abs=1e-6, max_iter=20000, inner_max_iter=100,
+                    eps_abs_in=0.1, rho=0.2, delta=1e-4, theta=0.9)
+    path = str(tmp_path / "ladder.npz")
+
+    # run levels 0-1, then "die" (simulated by a raising progress hook)
+    class Boom(Exception):
+        pass
+
+    def die_after_1(i, r):
+        if i == 1:
+            raise Boom
+
+    try:
+        qt.solve_continuation(problems, s, prolong=prolong,
+                              return_all=True, progress=die_after_1,
+                              resume_path=path)
+        raise AssertionError("hook should have fired")
+    except Boom:
+        pass
+    assert os.path.exists(path)
+    import numpy as _np
+    assert int(_np.load(path)["level"]) == 1
+
+    # a "fresh process": resume skips levels 0-1
+    seen = []
+    out = qt.solve_continuation(problems, s, prolong=prolong,
+                                return_all=True,
+                                progress=lambda i, r: seen.append(i),
+                                resume_path=path)
+    assert seen == [2]
+    assert out[0] is None and out[1] is None
+    res = out[2]
+    assert int(res.info.status_val) == qt.SOLVED
+    Q, q, A, l, u = problems[-1]
+    x, y = np.asarray(res.x), np.asarray(res.y)
+    Ax = A @ x
+    assert np.max(np.abs(Ax - np.clip(Ax + y, l, u))) <= 1e-6
+    assert np.max(np.abs(Q @ x + q + A.T @ y)) <= 1e-6
+    # resumed iteration count is warm-ladder-sized, not a cold crawl
+    ref = qt.solve_continuation(problems, s, prolong=prolong,
+                                return_all=True)
+    assert int(res.info.iterations) <= 2 * int(ref[2].info.iterations) + 10

@@ -47,6 +47,12 @@ class ADMMSettings(NamedTuple):
     rho_update_every: int = 100  # residual-balancing cadence (refactor)
     rho_updates: int = 10        # max number of refactors
     check_every: int = 25        # termination-check cadence
+    # iterative-refinement sweeps on the x-update solve when the factor
+    # is reduced-precision (factor_dtype="float32" with float64 data):
+    # one state-dtype residual + one extra factor apply per sweep —
+    # the same mixed-precision contract qpdo_tpu ships, so the TPU
+    # head-to-head compares configurations both solvers would ship
+    factor_refine: int = 0
 
 
 class ADMMResult(NamedTuple):
@@ -107,8 +113,12 @@ def admm_solve(problem, settings: ADMMSettings = ADMMSettings(),
     def body(c):
         x, z, y, L, rho_vec, it, solved, rp, rd, nrf = c
         # x-update: (Q + sigma I + rho A'A) x~ = sigma x - q + A'(rho z - y)
-        rhs = (s.sigma * x - q + A.T @ (rho_vec * z - y)).astype(fdt)
-        xt = _chol_solve(L, rhs).astype(dt)
+        rhs_dt = s.sigma * x - q + A.T @ (rho_vec * z - y)
+        xt = _chol_solve(L, rhs_dt.astype(fdt)).astype(dt)
+        for _ in range(s.factor_refine):
+            r_corr = rhs_dt - (Q @ xt + s.sigma * xt
+                               + A.T @ (rho_vec * (A @ xt)))
+            xt = xt + _chol_solve(L, r_corr.astype(fdt)).astype(dt)
         zt = A @ xt
         x_new = s.alpha * xt + (1 - s.alpha) * x
         z_ax = s.alpha * zt + (1 - s.alpha) * z

@@ -24,7 +24,13 @@ import jax
 
 plat = os.environ.get("QPDO_CMP_PLATFORM", "cpu")
 jax.config.update("jax_platforms", plat)
-jax.config.update("jax_enable_x64", plat == "cpu")
+# x64 everywhere (round-5): the TPU cell previously ran BOTH solvers on
+# pure-f32 data at eps 1e-4 — "a configuration neither solver would
+# ship" (round-4 verdict weak #7).  Now both run their SHIPPED
+# mixed-precision modes on f64 data at eps 1e-6: qpdo = hybrid warmup +
+# f32 KKT + refinement; admm = f64 iterates + f32 factor + one
+# refinement sweep (ADMMSettings.factor_refine).
+jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -50,12 +56,9 @@ def bench_batch():
     rng = np.random.default_rng(0)
     B, n, m = 64, 100, 150
     on_cpu = jax.default_backend() == "cpu"
-    dt = np.float64 if on_cpu else np.float32
-    # pure-f32 solves cannot certify 1e-6 (precision floor) — on device
-    # both solvers run the same f32 data at the f32-achievable tolerance,
-    # which keeps the comparison fair (same arithmetic, same target)
-    eps = 1e-6 if on_cpu else 1e-4
-    oracle_tol = 1e-5 if on_cpu else 1e-3
+    dt = np.float64
+    eps = 1e-6
+    oracle_tol = 1e-5
     probs = []
     for _ in range(B):
         M = rng.standard_normal((n, n))
@@ -66,12 +69,17 @@ def bench_batch():
                                      A, -c, c))
     batch = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *probs)
 
-    # qpdo (the bench configuration)
+    # qpdo (the shipped configurations: plain f64 on CPU, the bench
+    # mixed-precision mode on device)
     if on_cpu:
         qs = qt.Settings(eps_abs=eps, polish=True)
     else:
         qs = qt.Settings(eps_abs=eps, polish=True, mu_min=1e-7,
-                         kkt_dtype="float32", warmup_refine_steps=0)
+                         kkt_dtype="float32", hybrid_warmup=True,
+                         refine_steps=2, cert_dtype="float32",
+                         linesearch="bisect", linesearch_dtype="float32",
+                         phase2_gemm_dtype="float32",
+                         warmup_refine_steps=0)
     from qpdo_tpu.parallel import solve_batch
     r = solve_batch(batch, settings=qs); sync(r)
     t0 = time.perf_counter(); r = solve_batch(batch, settings=qs); sync(r)
@@ -79,7 +87,8 @@ def bench_batch():
     q_ok = sum(oracle(jax.tree_util.tree_map(lambda a: a[i], batch),
                       r.x[i], r.y[i], tol=oracle_tol)[2] for i in range(B))
 
-    asettings = ADMMSettings(eps_abs=eps, max_iter=20000)
+    asettings = ADMMSettings(eps_abs=eps, max_iter=20000,
+                             factor_refine=0 if on_cpu else 1)
     fdt = None if on_cpu else "float32"
     asolve = jax.jit(jax.vmap(lambda p: admm_solve(p, asettings,
                                                    factor_dtype=fdt)))

@@ -402,12 +402,18 @@ def main():
                            # 0.02-TFLOPS batched Cholesky/trisolve with
                            # GEMM/matvec work (docs/API.md); "ns" is the
                            # fixed-big-op Newton-Schulz-tracked inverse
+                           # DEFAULT since round 5: the Newton-Schulz-
+                           # tracked inverse at 5 steps, init-only (no
+                           # periodic lax.linalg rebuild) — measured
+                           # 974.7 QPs/s at B=256 vs 585 for the direct
+                           # path (oracle 1.0 both; refresh-on costs
+                           # 2.9x, logs/bench_ns5*_r5d.log)
                            kkt_solver=os.environ.get(
-                               "QPDO_BENCH_KKTSOLVER", "chol"),
+                               "QPDO_BENCH_KKTSOLVER", "ns"),
                            kkt_ns_steps=int(os.environ.get(
-                               "QPDO_BENCH_NSSTEPS", "3")),
+                               "QPDO_BENCH_NSSTEPS", "5")),
                            kkt_inv_refresh=bool(int(os.environ.get(
-                               "QPDO_BENCH_NSREFRESH", "1"))),
+                               "QPDO_BENCH_NSREFRESH", "0"))),
                            kkt_cg_fixed=int(os.environ.get(
                                "QPDO_BENCH_CGFIXED", "0")))
 

@@ -25,6 +25,12 @@ GRID = [
     dict(linesearch="bisect", polish=True),
     dict(hybrid_warmup=True, kkt_dtype="float32", refine_steps=2,
          mu_min=1e-7, polish=True, phase2_gemm_dtype="float32"),
+    # round-5 factorization-free dense Newton modes
+    dict(kkt_solver="ns", kkt_ns_steps=5, kkt_inv_refresh=False),
+    dict(kkt_solver="ns", kkt_ns_steps=3, polish=True, hybrid_warmup=True,
+         kkt_dtype="float32", refine_steps=2, mu_min=1e-7,
+         warmup_eps=1e-3, kkt_inv_refresh=False),
+    dict(kkt_solver="inv"),
 ]
 fails = 0
 t_start = time.time()

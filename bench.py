@@ -365,8 +365,12 @@ def main():
                            anchor_every=10,
                            newton_full_step=bool(int(
                                os.environ.get("QPDO_BENCH_FULLSTEP", "1"))),
+                           # 1e-4 since round 5: with polish off, a
+                           # deeper f32 warmup moves the remaining
+                           # accurate-phase iterations onto the cheap
+                           # path (1596 vs 1168 QPs/s at 1e-3+nopolish)
                            warmup_eps=float(
-                               os.environ.get("QPDO_BENCH_WEPS", "1e-3")),
+                               os.environ.get("QPDO_BENCH_WEPS", "1e-4")),
                            warmup_matmul_precision=os.environ.get(
                                "QPDO_BENCH_WARMUP_PREC", "highest"),
                            kkt_update_rows=int(
@@ -378,8 +382,15 @@ def main():
                            # instances can pay iterations for the cut)
                            warmup_refine_steps=int(
                                os.environ.get("QPDO_BENCH_WREFINE", "0")),
+                           # polish OFF since round 5: the batched
+                           # saddle LU (lax.linalg, sequential) became
+                           # the bottleneck once the ns mode removed the
+                           # Cholesky path — phase 2 under ns finishes
+                           # the tail cheaper than the polish skips it
+                           # (1168 vs 975 QPs/s measured; also raised at
+                           # B=4096)
                            polish=bool(int(
-                               os.environ.get("QPDO_BENCH_POLISH", "1"))),
+                               os.environ.get("QPDO_BENCH_POLISH", "0"))),
                            # in-loop Pallas A/B (round-3 verdict item 2):
                            # QPDO_BENCH_PALLAS in {"", "formation",
                            # "residuals", "both", "kkt", "all"} — "kkt"

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-5 TPU queue E (chains after r5f):
+# Round-5 TPU queue E (chains after r5g):
 #   1. the 9-level n=90,000 ladder with PROCESS-LEVEL resume: the r5c
 #      attempt proved the axon fault class can leave the in-process
 #      client unable to reattach (8 restore backoffs failed while fresh
@@ -14,7 +14,7 @@
 cd /root/repo
 echo $$ > /tmp/tpu_queue_r5e.shpid
 
-prev=$(cat /tmp/tpu_queue_r5f.shpid 2>/dev/null || echo 0)
+prev=$(cat /tmp/tpu_queue_r5g.shpid 2>/dev/null || echo 0)
 while kill -0 "$prev" 2>/dev/null; do sleep 30; done
 
 run_retry() {

@@ -23,7 +23,8 @@ def flops_per_iteration(n: int, m: int, refine_steps: int,
                         anchor_every: int = 10,
                         with_certs: bool = True,
                         kkt_solver: str = "chol",
-                        kkt_ns_steps: int = 2) -> float:
+                        kkt_ns_steps: int = 2,
+                        kkt_inv_refresh: bool = True) -> float:
     """Analytic FLOPs of one solver iteration for one problem (multiply+add
     = 2 FLOPs).  Counts the O(n^2)/O(mn) dense work of solver/core.py
     `step` + ops/linalg.py `newton_system_solve` (or its incremental
@@ -48,7 +49,8 @@ def flops_per_iteration(n: int, m: int, refine_steps: int,
         formation = 2.0 * m * n * n
         ns = kkt_ns_steps * 4.0 * n ** 3 + 2.0 * n ** 3  # steps + resym/KX
         apply_refine = 6.0 * n * n
-        anchor = (n ** 3 / 3.0 + 2.0 * n ** 3) / anchor_every
+        anchor = ((n ** 3 / 3.0 + 2.0 * n ** 3) / anchor_every
+                  if kkt_inv_refresh else 0.0)  # init-only: no rebuild
         return (formation + ns + apply_refine + anchor + at_ytilde
                 + qdx + cert_gemms)
     if kkt_update_rows > 0:
@@ -509,12 +511,14 @@ def main():
             n_s, m_s, settings.warmup_refine_steps, settings.kkt_update_rows,
             settings.anchor_every, with_certs=False,
             kkt_solver=settings.kkt_solver,
-            kkt_ns_steps=settings.kkt_ns_steps)
+            kkt_ns_steps=settings.kkt_ns_steps,
+            kkt_inv_refresh=settings.kkt_inv_refresh)
         f += B * p2_iters * flops_per_iteration(
             n_s, m_s, settings.refine_steps, settings.kkt_update_rows,
             settings.anchor_every, with_certs=certs_in_phase2,
             kkt_solver=settings.kkt_solver,
-            kkt_ns_steps=settings.kkt_ns_steps)
+            kkt_ns_steps=settings.kkt_ns_steps,
+            kkt_inv_refresh=settings.kkt_inv_refresh)
         if settings.polish:
             # two polish calls per solve: post-warmup + final
             f += B * 2 * polish_flops(n_s, m_s, settings.polish_refine)

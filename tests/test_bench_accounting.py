@@ -75,3 +75,30 @@ def test_warmup_iterations_split():
     res0 = qt.solve(problem, qt.Settings())
     assert int(res0.info.warmup_iterations) == 0
     assert int(res0.info.iterations) > 0
+
+
+def test_flops_model_ns_vs_xla_cost_analysis():
+    """The ns-mode per-iteration FLOP formula (the round-5 bench
+    default's MFU numerator) against XLA's own cost analysis of the
+    compiled step.  XLA does not count the (absent) factorization;
+    the ns GEMM mix is fully counted, so agreement should be tight."""
+    n, m = 100, 150
+    Q, q, A, l, u = random_qp(n, m, seed=9)
+    problem = qt.make_problem(Q, q, A, l, u)
+    settings = qt.Settings(kkt_solver="ns", kkt_ns_steps=5,
+                           kkt_inv_refresh=False, refine_steps=2)
+    sp = scale_problem(problem, settings.scaling, settings.ruiz_kkt)
+    op = core.as_operator(sp)
+    s0 = core.init_state(op, settings, None, None, False, False)
+    compiled = jax.jit(lambda st: core.step(op, settings, st)).lower(
+        s0).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    xla_flops = float(ca.get("flops", 0.0))
+    assert xla_flops > 0.0
+    import bench
+    model = bench.flops_per_iteration(
+        n, m, settings.refine_steps, kkt_solver="ns",
+        kkt_ns_steps=settings.kkt_ns_steps, kkt_inv_refresh=False)
+    assert 0.7 < xla_flops / model < 1.3, xla_flops / model

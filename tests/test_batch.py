@@ -234,3 +234,37 @@ def test_compact_warmstart_hybrid_with_infeasible():
         rp, rd = kkt_residuals(*probs[b], np.asarray(r_comp.x[b]),
                                np.asarray(r_comp.y[b]))
         assert rp < 1e-5 and rd < 1e-5, (b, rp, rd)
+
+
+def test_batched_ns_mode_bench_path():
+    """The shipped TPU bench configuration (kkt_solver="ns", 5 steps,
+    init-only inverse, polish off, hybrid warmup to 1e-4) through the
+    straggler-compaction batch path — every member oracle-verified."""
+    from qpdo_tpu.parallel.batch import _solve_batch_compact
+
+    B, n, m = 12, 40, 60
+    rng = np.random.default_rng(17)
+    M = rng.standard_normal((B, n, n))
+    Q = np.einsum("bij,bkj->bik", M, M) / n + 0.1 * np.eye(n)
+    probs = qt.Problem(
+        Q=jnp.asarray(Q), q=jnp.asarray(rng.standard_normal((B, n))),
+        A=jnp.asarray(rng.standard_normal((B, m, n))),
+        l=jnp.asarray(-rng.random((B, m))),
+        u=jnp.asarray(rng.random((B, m))), c=jnp.zeros((B,)))
+    s = qt.Settings(eps_abs=1e-6, max_iter=400, inner_max_iter=50,
+                    eps_abs_in=0.1, rho=0.02, delta=0.1, refine_steps=2,
+                    kkt_dtype="float32", hybrid_warmup=True, mu_min=1e-7,
+                    linesearch="bisect", linesearch_dtype="float32",
+                    phase2_gemm_dtype="float32", warmup_eps=1e-4,
+                    warmup_refine_steps=0, kkt_solver="ns",
+                    kkt_ns_steps=5, kkt_inv_refresh=False)
+    r = _solve_batch_compact(probs, s, None, None, False, False)
+    assert np.all(np.asarray(r.info.status_val) == qt.SOLVED)
+    x, y = np.asarray(r.x), np.asarray(r.y)
+    An = np.asarray(probs.A)
+    Ax = np.einsum("bmn,bn->bm", An, x)
+    rp = np.abs(Ax - np.clip(Ax + y, np.asarray(probs.l),
+                             np.asarray(probs.u))).max()
+    rd = np.abs(np.einsum("bij,bj->bi", Q, x) + np.asarray(probs.q)
+                + np.einsum("bmn,bm->bn", An, y)).max()
+    assert rp < 1.1e-6 and rd < 1.1e-6

@@ -673,8 +673,12 @@ def test_kkt_solver_modes_match_direct():
     p = qt.make_problem(Q, q, A, l, u)
     res_ref = qt.solve(p)
     assert int(res_ref.info.status_val) == qt.SOLVED
-    for mode, extra in (("cg", {}), ("inv", {}),
+    for mode, extra in (("cg", {}), ("cg", {"kkt_cg_fixed": 12}),
+                        ("inv", {}),
+                        ("inv", {"kkt_cg_fixed": 6}),
                         ("ns", {"kkt_ns_steps": 3}),
+                        ("ns", {"kkt_ns_steps": 5,
+                                "kkt_inv_refresh": False}),
                         ("ns", {"kkt_ns_steps": 2, "anchor_every": 5})):
         res = qt.solve(p, qt.Settings(kkt_solver=mode, **extra))
         assert int(res.info.status_val) == qt.SOLVED, mode

@@ -78,6 +78,13 @@ def main():
         # single executions of any kind (RESULTS.md crash class).
         settings = settings.replace(kkt_dtype="float32", mu_min=1e-9,
                                     refine_steps=3, max_time=3600.0)
+        if os.environ.get("QPDO_EX_RESUME"):
+            # process-level resume armed: in-process reattach NEVER
+            # succeeds on this fault class (round-5 post-mortem — 8
+            # restore backoffs, ~20 min, all failed), so die fast and
+            # let the outer retry loop relaunch a fresh process that
+            # resumes from the last completed level
+            settings = settings.replace(crash_recovery=0)
     if os.environ.get("QPDO_EX_F32"):
         # CPU rehearsal of the exact TPU precision config (no chunking)
         settings = settings.replace(kkt_dtype="float32", mu_min=1e-9,

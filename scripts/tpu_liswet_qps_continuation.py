@@ -79,7 +79,12 @@ def main():
                            rho=0.2, delta=1e-4, theta=0.9, mu_min=1e-9)
     if os.environ.get("QPDO_EX_TPU"):
         settings = settings.replace(kkt_dtype="float32", refine_steps=3,
-                                    max_time=3600.0, crash_recovery=3)
+                                    max_time=3600.0,
+                                    # with resume armed, in-process
+                                    # reattach is futile on this fault
+                                    # class — die fast, relaunch fresh
+                                    crash_recovery=0 if os.environ.get(
+                                        "QPDO_EX_RESUME") else 3)
     else:
         settings = settings.replace(kkt_dtype="float32", refine_steps=3)
 

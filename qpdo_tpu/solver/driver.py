@@ -32,7 +32,14 @@ _TIME_CHUNK = 32  # initial iterations between wall-clock checks
 # exceed the target, keeping each device execution well under the
 # worker's multi-minute-execution crash threshold (RESULTS.md).
 _CHUNK_MAX = 2048
-_CHUNK_TARGET_S = 20.0
+# QPDO_CHUNK_TARGET_S: per-device-execution wall target of the adaptive
+# chunking.  The default 20 s balances host-sync cost against the
+# platform's sustained-execution crash class; on sick chip days (round
+# 5: level-22500 banded executions killed the worker on consecutive
+# attempts) a smaller target trades sync overhead for gentler streams.
+import os as _os
+
+_CHUNK_TARGET_S = float(_os.environ.get("QPDO_CHUNK_TARGET_S", "20.0"))
 # restore-retry bound: consecutive failed RESTORES (not attempts) allowed
 # before giving up — each waits up to 5 min, so 8 ≈ an extra half hour of
 # patience for a worker that answers subprocess probes but rejects

@@ -168,6 +168,23 @@ def measure_peak_tflops(reps: int = 3, size: int = 4096,
 
         out["f32_bench_shape_chained"] = _time_best(
             jax.jit(formation_chain), (a,), 2.0 * R * B * m * n * n)
+
+        # ns-mode dominant op: batched SQUARE (B,n,n)@(B,n,n) GEMMs (the
+        # Newton-Schulz updates) — a different tile mix than the (m,n)
+        # formation; without this probe the ns bench reads mfu clamped
+        # at 1.0 (the solver out-runs the formation-shaped denominator)
+        x = jnp.ones((B, n, n), jnp.float32)
+
+        def ns_chain(x):
+            def body(_, xv):
+                with jax.default_matmul_precision("highest"):
+                    y = jnp.einsum("bij,bjk->bik", xv, xv)
+                return xv * (1.0 + 1e-30 * y[:, :1, :1])
+
+            return jax.lax.fori_loop(0, R, body, x)
+
+        out["f32_ns_shape_chained"] = _time_best(
+            jax.jit(ns_chain), (x,), 2.0 * R * B * n ** 3)
     return out
 
 
@@ -541,6 +558,11 @@ def main():
     # is the denominator floored — flagged, never overwriting a number.
     peak_shape = max(peak.get("f32_bench_shape", 0.0),
                      peak.get("f32_bench_shape_chained", 0.0))
+    if settings.kkt_solver == "ns":
+        # the ns solve's FLOPs are dominated by square (B,n,n) GEMMs,
+        # not the formation shape — use the better-matching probe
+        peak_shape = max(peak_shape,
+                         peak.get("f32_ns_shape_chained", 0.0))
     peak_probe = max(peak["f32_highest"], peak_shape,
                      peak.get("f32_highest_chained", 0.0))
     peak_floored = peak_shape < lower_tflops
@@ -598,6 +620,8 @@ def main():
         "peak_chained_tflops_bf16": round(peak.get("bf16_chained", 0.0), 3),
         "peak_chained_bench_shape": round(
             peak.get("f32_bench_shape_chained", 0.0), 3),
+        "peak_chained_ns_shape": round(
+            peak.get("f32_ns_shape_chained", 0.0), 3),
         "peak_pre_tflops_f32": round(peak_pre["f32_highest"], 3),
         "peak_post_tflops_f32": round(peak_post["f32_highest"], 3),
         "peak_pre_bench_shape": round(peak_pre.get("f32_bench_shape", 0.0), 3),
